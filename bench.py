@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: Instant-NGP-style image fit training throughput.
+
+Protocol mirrors the reference's flagship number (README.md:151-153 /
+samples/mlp_learning_an_image.cu): HashGrid (16 levels x 2 features, 2^19
+table) + FullyFusedMLP 64x2, RelativeL2, Adam, batch 2^18; metric is trained
+samples/second. Baseline: ~2.62e8 samples/s (1000 steps of batch 2^18 in "a
+bit over 1 second" on an RTX 4090).
+
+Each timed step includes on-device batch generation and target sampling from
+a synthetic 512x512 texture, matching the reference sample's loop structure.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 2.62e8  # RTX 4090, reference README.md:151-153
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=2**18)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--width", type=int, default=64)
+    parser.add_argument("--hidden", type=int, default=2)
+    parser.add_argument("--log2-hashmap", type=int, default=19)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import tcnn_tpu as tc
+
+    config = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {
+            "otype": "HashGrid",
+            "n_levels": 16,
+            "n_features_per_level": 2,
+            "log2_hashmap_size": args.log2_hashmap,
+            "base_resolution": 16,
+            "per_level_scale": 2.0,
+        },
+        "network": {
+            "otype": "FullyFusedMLP",
+            "activation": "ReLU",
+            "output_activation": "None",
+            "n_neurons": args.width,
+            "n_hidden_layers": args.hidden,
+        },
+    }
+
+    model = tc.create_from_config(2, 3, config)
+    trainer = model.trainer
+
+    # Synthetic "image": smooth multi-frequency texture, sampled nearest.
+    res = 512
+    yy, xx = np.meshgrid(np.linspace(0, 1, res), np.linspace(0, 1, res),
+                         indexing="ij")
+    image = np.stack(
+        [
+            0.5 + 0.5 * np.sin(8 * np.pi * xx) * np.cos(6 * np.pi * yy),
+            0.5 + 0.5 * np.cos(4 * np.pi * (xx + yy)),
+            0.5 + 0.5 * np.sin(2 * np.pi * xx * yy * 4),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    image_dev = jnp.asarray(image)
+
+    def sample_batch(key):
+        xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)
+        ij = jnp.clip((xy * res).astype(jnp.int32), 0, res - 1)
+        target = image_dev[ij[:, 1], ij[:, 0]]
+        return xy, target
+
+    @jax.jit
+    def bench_step(state, key):
+        xy, target = sample_batch(key)
+        return trainer._step_impl(state, xy, target, None)
+
+    state = trainer.state
+    keys = jax.random.split(jax.random.PRNGKey(0), args.warmup + args.steps)
+
+    for i in range(args.warmup):
+        state, loss = bench_step(state, keys[i])
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, loss = bench_step(state, keys[args.warmup + i])
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    final_loss = float(loss)
+    samples_per_sec = args.batch * args.steps / elapsed
+    result = {
+        "metric": "image_fit_training_throughput_hashgrid16x2_ffmlp64x2_b2^18",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {elapsed/args.steps*1e3:.3f} ms/step, final loss {final_loss:.3e}, "
+        f"backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

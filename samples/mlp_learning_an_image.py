@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Image-fit sample — the TPU port of the reference's flagship demo.
+
+(reference: samples/mlp_learning_an_image.cu and
+samples/mlp_learning_an_image_pytorch.py). Learns (x, y) -> RGB from an
+image with a trainable input encoding + tiny MLP, writing progressive PNGs.
+
+Usage:
+    python samples/mlp_learning_an_image.py [image.npy|image.png] \
+        [config.json] [n_steps]
+
+Without arguments a synthetic 512x512 test image is used (the repo carries
+no binary assets). PNG loading/writing needs no external deps for .npy; for
+.png it uses torch-vision-free pure-python fallback via matplotlib if
+available, else .npy only.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_CONFIG = {
+    "loss": {"otype": "RelativeL2"},
+    "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+    "encoding": {
+        "otype": "HashGrid",
+        "n_levels": 16,
+        "n_features_per_level": 2,
+        "log2_hashmap_size": 19,
+        "base_resolution": 16,
+        "per_level_scale": 2.0,
+    },
+    "network": {
+        "otype": "FullyFusedMLP",
+        "activation": "ReLU",
+        "output_activation": "None",
+        "n_neurons": 64,
+        "n_hidden_layers": 2,
+    },
+}
+
+
+def synthetic_image(res: int = 512) -> np.ndarray:
+    yy, xx = np.meshgrid(np.linspace(0, 1, res), np.linspace(0, 1, res),
+                         indexing="ij")
+    return np.stack(
+        [
+            0.5 + 0.5 * np.sin(8 * np.pi * xx) * np.cos(6 * np.pi * yy),
+            0.5 + 0.5 * np.cos(4 * np.pi * (xx + yy)),
+            0.5 + 0.5 * np.sin(2 * np.pi * (xx - yy) * 3),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def load_image(path: str) -> np.ndarray:
+    p = Path(path)
+    if p.suffix == ".npy":
+        img = np.load(p)
+    else:
+        try:
+            from matplotlib.image import imread  # noqa: PLC0415
+
+            img = imread(str(p))
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError(f"cannot load {p}: {e}; use .npy") from e
+    img = np.asarray(img, np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    return img[..., :3]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import tcnn_tpu as tc
+
+    args = sys.argv[1:]
+    image = load_image(args[0]) if args else synthetic_image()
+    config = json.loads(Path(args[1]).read_text()) if len(args) > 1 else DEFAULT_CONFIG
+    n_steps = int(args[2]) if len(args) > 2 else 1000
+    batch = 2**18
+
+    h, w, _ = image.shape
+    print(f"Fitting a {w}x{h} image with "
+          f"{config['encoding']['otype']} + {config['network']['otype']}")
+
+    model = tc.create_from_config(2, 3, config)
+    trainer = model.trainer
+    image_dev = jnp.asarray(image)
+
+    @jax.jit
+    def step(state, key):
+        xy = jax.random.uniform(key, (batch, 2), jnp.float32)
+        ij_y = jnp.clip((xy[:, 1] * h).astype(jnp.int32), 0, h - 1)
+        ij_x = jnp.clip((xy[:, 0] * w).astype(jnp.int32), 0, w - 1)
+        target = image_dev[ij_y, ij_x]
+        return trainer._step_impl(state, xy, target, None)
+
+    keys = jax.random.split(jax.random.PRNGKey(42), n_steps)
+    state = trainer.state
+    t0 = time.perf_counter()
+    interval = 10
+    for i in range(n_steps):
+        state, loss = step(state, keys[i])
+        if i % 100 == 0 or i == n_steps - 1:
+            jax.block_until_ready(loss)
+            elapsed = time.perf_counter() - t0
+            print(f"step {i:5d}  loss {float(loss):.3e}  "
+                  f"[{elapsed:.2f}s, {batch*(i+1)/max(elapsed,1e-9):.3g} samples/s]")
+    trainer.state = state
+
+    # Render the learned image and report PSNR.
+    ys, xs = np.meshgrid((np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w,
+                         indexing="ij")
+    coords = jnp.asarray(
+        np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+    )
+    out = []
+    chunk = 2**18
+    for i in range(0, coords.shape[0], chunk):
+        out.append(np.asarray(trainer.inference(coords[i : i + chunk])))
+    pred = np.concatenate(out).reshape(h, w, 3)
+    mse = float(np.mean((pred - image) ** 2))
+    psnr = -10 * np.log10(mse) if mse > 0 else float("inf")
+    print(f"PSNR: {psnr:.2f} dB")
+
+    np.save("fitted_image.npy", pred)
+    print("wrote fitted_image.npy")
+
+
+if __name__ == "__main__":
+    main()

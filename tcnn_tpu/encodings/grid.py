@@ -1,0 +1,389 @@
+"""Multiresolution grid encoding (Instant-NGP hash grid).
+
+TPU-native re-design of the reference's grid encoding
+(reference: encodings/grid.h). The CUDA version launches one threadblock row
+per level and scatter-adds gradients with atomics; here the forward pass is a
+vectorized gather + d-linear interpolation over a (level, corner) axis, and
+the backward pass is whatever JAX autodiff derives from it — an XLA
+scatter-add, which on TPU is **deterministic** (an improvement over the
+reference's atomics, cf. grid.h:252-255). Double backward (needed for
+eikonal/SDF losses, reference grid.h:910-1042 + scripts/test_grid_bwdbwd.py)
+falls out of ``jax.grad ∘ jax.grad`` with *all* second-order terms present.
+
+Parameter layout parity: params are one flat vector of
+``offset_table[n_levels] * n_features_per_level`` floats; level ``l`` owns
+rows ``offset_table[l]:offset_table[l+1]`` of the ``(n_vertices, F)`` table,
+features contiguous per vertex — identical offsets to the reference
+(grid.h:673-737), so checkpoints are interchangeable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import (
+    MAX_N_LEVELS,
+    GridType,
+    HashType,
+    InterpolationType,
+    json_value,
+    next_multiple,
+    string_to_grid_type,
+    string_to_hash_type,
+    string_to_interpolation_type,
+)
+from ..utils.log import log_warning
+from .base import Encoding
+
+# Hash factors (reference: common_device.h:782-795; primes from the
+# Instant-NGP paper).
+_PRIME_FACTORS = (
+    1958374283,
+    2654435761,
+    805459861,
+    3674653429,
+    2097192037,
+    1434869437,
+    2165219737,
+)
+_COHERENT_PRIME_FACTORS = (1,) + _PRIME_FACTORS[1:]
+_REVERSED_PRIME_FACTORS = tuple(reversed(_PRIME_FACTORS))
+_BASE_CONVERT_FACTOR = 2531011
+
+# Max grid resolution per n_dims that avoids uint32 overflow of the dense
+# index (reference: common_device.h:855-870).
+_MAX_BASES = [0x0, 0xFFFFFFFF, 0xFFFF, 0x659, 0xFF, 0x54, 0x28, 0x17, 0xF, 0xB, 0x9]
+
+
+def grid_scale(level: int, log2_per_level_scale: float, base_resolution: int) -> float:
+    """(reference: common_device.h:886-891)"""
+    return 2.0 ** (level * log2_per_level_scale) * base_resolution - 1.0
+
+
+def grid_resolution(scale: float) -> int:
+    """(reference: common_device.h:893-895)"""
+    return int(math.ceil(scale)) + 1
+
+
+def _hash_factors(hash_type: HashType, n_dims: int):
+    if hash_type == HashType.Prime:
+        return _PRIME_FACTORS[:n_dims]
+    if hash_type == HashType.CoherentPrime:
+        return _COHERENT_PRIME_FACTORS[:n_dims]
+    if hash_type == HashType.ReversedPrime:
+        return _REVERSED_PRIME_FACTORS[:n_dims]
+    raise NotImplementedError(f"hash type {hash_type} has no LCG factors")
+
+
+def _grid_hash(pos_grid_u32: jnp.ndarray, hash_type: HashType) -> jnp.ndarray:
+    """XOR/LCG spatial hash over the trailing dim (uint32, wrapping).
+
+    pos_grid_u32: (..., D) uint32 -> (...) uint32.
+    """
+    d = pos_grid_u32.shape[-1]
+    if hash_type == HashType.BaseConvert:
+        # k = ((p0)*F + p1)*F + ... (reference: common_device.h:803-812)
+        k = jnp.zeros(pos_grid_u32.shape[:-1], jnp.uint32)
+        for i in range(d):
+            k = (k + pos_grid_u32[..., i]) * jnp.uint32(_BASE_CONVERT_FACTOR)
+        return k
+    factors = _hash_factors(hash_type, d)
+    result = jnp.zeros(pos_grid_u32.shape[:-1], jnp.uint32)
+    for i in range(d):
+        result = result ^ (pos_grid_u32[..., i] * jnp.uint32(factors[i]))
+    return result
+
+
+def _smoothstep(t):
+    return t * t * (3.0 - 2.0 * t)
+
+
+class GridEncoding(Encoding):
+    """Hash/Dense/Tiled multiresolution grid (reference: encodings/grid.h)."""
+
+    otype = "Grid"
+    pad_value = 0.0  # grid pads with zeros (grid.h:757-767)
+
+    def __init__(
+        self,
+        n_dims_to_encode: int,
+        n_features: int = 32,
+        log2_hashmap_size: int = 19,
+        base_resolution: int = 16,
+        per_level_scale: float = 2.0,
+        stochastic_interpolation: bool = False,
+        interpolation_type: InterpolationType = InterpolationType.Linear,
+        grid_type: GridType = GridType.Hash,
+        hash_type: HashType = HashType.CoherentPrime,
+        n_features_per_level: int = 2,
+        fixed_point_pos: bool = False,
+    ):
+        super().__init__(n_dims_to_encode)
+        if n_dims_to_encode < 1 or n_dims_to_encode > 10:
+            raise ValueError("GridEncoding supports 1..10 input dims")
+        if n_features % n_features_per_level != 0:
+            raise ValueError(
+                f"GridEncoding: n_features={n_features} must be a multiple of "
+                f"n_features_per_level={n_features_per_level}"
+            )
+        if fixed_point_pos:
+            raise NotImplementedError(
+                "fixed_point_pos is a JIT-codegen-only input mode in the "
+                "reference (grid.h:1134-1692) and is not yet supported"
+            )
+        if stochastic_interpolation:
+            log_warning(
+                "GridEncoding: stochastic_interpolation requested; this build "
+                "uses full d-linear gradients instead (deterministic)."
+            )
+
+        self.n_features = int(n_features)
+        self.n_features_per_level = int(n_features_per_level)
+        self.n_levels = self.n_features // self.n_features_per_level
+        if self.n_levels > MAX_N_LEVELS:
+            raise ValueError(
+                f"GridEncoding: n_levels={self.n_levels} must be at most {MAX_N_LEVELS}"
+            )
+        self.log2_hashmap_size = int(log2_hashmap_size)
+        self.base_resolution = int(base_resolution)
+        self.per_level_scale = float(per_level_scale)
+        self.stochastic_interpolation = bool(stochastic_interpolation)
+        self.interpolation_type = interpolation_type
+        self.grid_type = grid_type
+        self.hash_type = hash_type
+
+        if hash_type == HashType.Rng:
+            raise NotImplementedError(
+                "HashType::Rng requires per-vertex pcg32 jumps; use Prime/"
+                "CoherentPrime/ReversedPrime/BaseConvert"
+            )
+
+        d = self.n_dims_to_encode
+        log2_scale = math.log2(self.per_level_scale)
+        max_params = 2**31
+
+        # Per-level offset table (reference: grid.h:695-737).
+        offsets: List[int] = []
+        resolutions: List[int] = []
+        scales: List[float] = []
+        offset = 0
+        for lvl in range(self.n_levels):
+            scale = grid_scale(lvl, log2_scale, self.base_resolution)
+            resolution = grid_resolution(scale)
+            params_in_level = (
+                max_params
+                if float(resolution) ** d > max_params
+                else resolution**d
+            )
+            params_in_level = next_multiple(params_in_level, 8)
+            if grid_type == GridType.Dense:
+                pass
+            elif grid_type == GridType.Tiled:
+                params_in_level = min(
+                    params_in_level, self.base_resolution**d
+                )
+            elif grid_type == GridType.Hash:
+                params_in_level = min(
+                    params_in_level, 1 << self.log2_hashmap_size
+                )
+            else:
+                raise ValueError(f"invalid grid type {grid_type}")
+            offsets.append(offset)
+            resolutions.append(resolution)
+            scales.append(scale)
+            offset += params_in_level
+        offsets.append(offset)
+
+        self.offset_table = np.asarray(offsets, np.int64)
+        self.resolutions = np.asarray(resolutions, np.int64)
+        self.scales = np.asarray(scales, np.float64)
+        self._n_params = int(offset) * self.n_features_per_level
+        self.n_output_dims = self.n_features
+
+        # Per-level: does the dense index fit, or do we hash?
+        # (reference: common_device.h:847-884)
+        self._use_hash: List[bool] = []
+        for lvl in range(self.n_levels):
+            res = int(self.resolutions[lvl])
+            level_size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+            if res <= _MAX_BASES[d]:
+                stride = res**d
+            else:
+                stride = 0xFFFFFFFF
+            self._use_hash.append(
+                grid_type == GridType.Hash and level_size < stride
+            )
+
+        # Corner enumeration for d-linear interpolation: (2^d, d) bits.
+        self._corners = np.asarray(
+            [[(c >> dim) & 1 for dim in range(d)] for c in range(2**d)],
+            np.int64,
+        )
+
+    # -- parameters ----------------------------------------------------------
+    @property
+    def n_params(self) -> int:
+        return self._n_params
+
+    def initialize_params(self, rng, scale: float = 1.0) -> np.ndarray:
+        """U(-1e-4, 1e-4), like the reference (grid.h:1076-1079)."""
+        return (rng.next_float(self._n_params) * 2e-4 - 1e-4).astype(np.float32) * scale
+
+    def layer_sizes(self):
+        # Grid params are non-matrix params for the optimizer
+        # (reference: grid.h:1101-1105).
+        return []
+
+    # -- compute ---------------------------------------------------------------
+    def apply(self, params, x, max_level: Optional[float] = None):
+        """Encode positions.
+
+        Args:
+          params: flat (n_params,) parameter slice.
+          x: (batch, n_dims) positions, nominally in [0, 1]^d.
+          max_level: optional coarse-to-fine masking in [0, 1]; levels
+            ``l >= max_level * n_levels + 1e-3`` output zeros
+            (reference: grid.h:69-92).
+        """
+        d = self.n_dims_to_encode
+        L = self.n_levels
+        F = self.n_features_per_level
+        x = x.astype(jnp.float32)
+        batch = x.shape[0]
+
+        table = params.reshape(-1, F)
+
+        per_level_out = []
+        for lvl in range(L):
+            scale = float(self.scales[lvl])
+            res = int(self.resolutions[lvl])
+            level_size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+            level_offset = int(self.offset_table[lvl])
+
+            # pos_fract with the 0.5 stagger offset
+            # (reference: common_device.h:1000-1043).
+            pos = x * scale + 0.5
+            pos_floor = jnp.floor(pos)
+            pos_grid = pos_floor.astype(jnp.int32)  # (B, D)
+            t = pos - pos_floor
+            if self.interpolation_type == InterpolationType.Smoothstep:
+                w = _smoothstep(t)
+            else:
+                w = t
+
+            if self.interpolation_type == InterpolationType.Nearest:
+                corner = pos_grid.astype(jnp.uint32)[:, None, :]  # (B, 1, D)
+                weights = jnp.ones((batch, 1), jnp.float32)
+            else:
+                corners = jnp.asarray(self._corners, jnp.int32)  # (C, D)
+                corner = (
+                    pos_grid[:, None, :] + corners[None, :, :]
+                ).astype(jnp.uint32)  # (B, C, D)
+                bits = corners[None, :, :].astype(jnp.float32)
+                # weight = prod_dim (bit ? w : 1-w)
+                weights = jnp.prod(
+                    bits * w[:, None, :] + (1.0 - bits) * (1.0 - w[:, None, :]),
+                    axis=-1,
+                )  # (B, C)
+
+            if self._use_hash[lvl]:
+                idx = _grid_hash(corner, self.hash_type)
+            else:
+                stride = 1
+                idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
+                for dim in range(d):
+                    idx = idx + corner[..., dim] * jnp.uint32(stride)
+                    stride *= res
+            idx = idx % jnp.uint32(level_size)
+            global_idx = idx.astype(jnp.int32) + jnp.int32(level_offset)
+
+            feats = table[global_idx]  # (B, C, F)
+            level_out = jnp.sum(
+                feats * weights[..., None].astype(feats.dtype), axis=1
+            )  # (B, F)
+            per_level_out.append(level_out)
+
+        y = jnp.stack(per_level_out, axis=1)  # (B, L, F)
+
+        if max_level is not None:
+            # Level l is active iff l < max_level * L + 1e-3 (grid.h:69-92).
+            lvl_ids = jnp.arange(L, dtype=jnp.float32)
+            active = lvl_ids < (jnp.float32(max_level) * L + 1e-3)
+            y = jnp.where(active[None, :, None], y, 0.0)
+
+        y = y.reshape(batch, L * F)
+        return self._pad(y)
+
+    def hyperparams(self):
+        return {
+            "otype": self.otype,
+            "type": self.grid_type.value,
+            "n_levels": self.n_levels,
+            "n_features_per_level": self.n_features_per_level,
+            "log2_hashmap_size": self.log2_hashmap_size,
+            "base_resolution": self.base_resolution,
+            "per_level_scale": self.per_level_scale,
+            "interpolation": self.interpolation_type.value,
+            "hash": self.hash_type.value,
+        }
+
+
+def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
+    """Factory reproducing the reference's JSON defaults (grid.h:1725-1755)."""
+    encoding = encoding or {}
+    log2_hashmap_size = json_value(encoding, "log2_hashmap_size", 19)
+    otype = json_value(encoding, "otype", "Grid")
+    if otype.lower() == "tiledgrid":
+        default_type = "Tiled"
+    elif otype.lower() == "densegrid":
+        default_type = "Dense"
+    else:
+        default_type = "Hash"
+
+    n_features_per_level = json_value(encoding, "n_features_per_level", 2)
+
+    has_nf = "n_features" in encoding or "n_grid_features" in encoding
+    if has_nf:
+        if "n_levels" in encoding:
+            raise ValueError(
+                "GridEncoding: may not specify n_features and n_levels "
+                "simultaneously (one determines the other)"
+            )
+        n_features = json_value(
+            encoding, "n_features", json_value(encoding, "n_grid_features", None)
+        )
+    else:
+        n_features = n_features_per_level * json_value(encoding, "n_levels", 16)
+
+    n_levels = n_features // n_features_per_level
+    grid_type = string_to_grid_type(json_value(encoding, "type", default_type))
+    base_resolution = json_value(encoding, "base_resolution", 16)
+
+    if grid_type == GridType.Dense:
+        default_scale = math.exp(
+            math.log(256.0 / base_resolution) / max(n_levels - 1, 1)
+        )
+    else:
+        default_scale = 2.0
+
+    return GridEncoding(
+        n_dims_to_encode=n_dims_to_encode,
+        n_features=n_features,
+        log2_hashmap_size=log2_hashmap_size,
+        base_resolution=base_resolution,
+        per_level_scale=json_value(encoding, "per_level_scale", default_scale),
+        stochastic_interpolation=json_value(
+            encoding, "stochastic_interpolation", False
+        ),
+        interpolation_type=string_to_interpolation_type(
+            json_value(encoding, "interpolation", "Linear")
+        ),
+        grid_type=grid_type,
+        hash_type=string_to_hash_type(json_value(encoding, "hash", "CoherentPrime")),
+        n_features_per_level=n_features_per_level,
+        fixed_point_pos=json_value(encoding, "fixed_point_pos", False),
+    )

@@ -1,0 +1,262 @@
+"""Losses.
+
+Each loss computes, in one fused elementwise pass (XLA fuses the whole thing
+into a single TPU kernel — the analogue of the reference's one-kernel-per-loss
+design, e.g. losses/l2.h:40-75):
+
+- per-element loss ``values`` of shape ``(batch, stride)``, normalized by
+  ``n_total = batch * dims`` and an optional importance-sampling ``data_pdf``;
+- scaled gradients ``dL_dprediction`` of the same shape.
+
+``stride`` is the network's padded output width; lanes ``>= dims`` (padding)
+get zero values and gradients (reference: l2.h:56-60). The gradients are
+*not* in general the true derivative of the value (relative losses treat
+their normalizer as constant), which is why training consumes these explicit
+gradients rather than autodiff of the scalar loss.
+
+Factory: ``create_loss(config)`` with case-insensitive ``otype``
+(reference: src/loss.cu:53-90; default RelativeL2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..common import CIDict, json_value
+
+Array = jnp.ndarray
+
+
+class Loss:
+    """Base class. Subclasses implement ``_value_and_gradient``.
+
+    ``evaluate`` mirrors ``Loss<T>::evaluate`` (reference: loss.h:41-60) in
+    batch-leading layout: prediction ``(B, stride)``, target ``(B, dims)``.
+    """
+
+    otype = "Loss"
+
+    def evaluate(
+        self,
+        loss_scale: float,
+        prediction: Array,
+        target: Array,
+        data_pdf: Optional[Array] = None,
+    ):
+        if prediction.ndim != 2 or target.ndim != 2:
+            raise ValueError("prediction/target must be (batch, dim) matrices")
+        batch, stride = prediction.shape
+        tbatch, dims = target.shape
+        if tbatch != batch:
+            raise ValueError(f"batch mismatch: {batch} vs {tbatch}")
+        if dims > stride:
+            raise ValueError(f"target dims {dims} exceed prediction stride {stride}")
+        if data_pdf is not None and data_pdf.shape != target.shape:
+            raise ValueError("data_pdf must have the target's shape")
+
+        n_total = batch * dims
+        pred = prediction[:, :dims].astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        pdf = (
+            jnp.ones_like(target)
+            if data_pdf is None
+            else data_pdf.astype(jnp.float32)
+        )
+
+        values, gradient = self._value_and_gradient(pred, target, pdf, n_total)
+
+        pad = stride - dims
+        if pad > 0:
+            zeros_v = jnp.zeros((batch, pad), jnp.float32)
+            values = jnp.concatenate([values, zeros_v], axis=1)
+            gradient = jnp.concatenate([gradient, zeros_v], axis=1)
+        gradients = (loss_scale * gradient).astype(prediction.dtype)
+        return values, gradients
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        raise NotImplementedError
+
+    # Config surface (reference: object.h:50-55)
+    def update_hyperparams(self, params):
+        pass
+
+    def hyperparams(self):
+        return {"otype": self.otype}
+
+
+class L2Loss(Loss):
+    """(reference: losses/l2.h:40-75)"""
+
+    otype = "L2"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        diff = pred - target
+        values = diff * diff / pdf / n_total
+        gradient = 2.0 * diff / pdf / n_total
+        return values, gradient
+
+
+class RelativeL2Loss(Loss):
+    """L2 normalized by prediction^2 + 0.01 (reference: losses/relative_l2.h:40-78)."""
+
+    otype = "RelativeL2"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        norm = pred * pred + 0.01
+        diff = pred - target
+        values = diff * diff / norm / pdf / n_total
+        gradient = 2.0 * diff / norm / pdf / n_total
+        return values, gradient
+
+
+class RelativeL2LuminanceLoss(Loss):
+    """RelativeL2 normalized by predicted RGB luminance
+    (reference: losses/relative_l2_luminance.h:40-88). Expects dims >= 3; with
+    dims >= 6 the first two RGB triplets are summed before the luminance.
+    """
+
+    otype = "RelativeL2Luminance"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        dims = pred.shape[1]
+        if dims < 3:
+            raise ValueError("RelativeL2Luminance requires at least 3 output dims")
+        r, g, b = pred[:, 0], pred[:, 1], pred[:, 2]
+        if dims >= 6:
+            r = r + pred[:, 3]
+            g = g + pred[:, 4]
+            b = b + pred[:, 5]
+        luminance = 0.299 * r + 0.587 * g + 0.114 * b
+        norm = (luminance * luminance + 0.01)[:, None]
+        diff = pred - target
+        values = diff * diff / norm / pdf / n_total
+        gradient = 2.0 * diff / norm / pdf / n_total
+        return values, gradient
+
+
+class L1Loss(Loss):
+    """(reference: losses/l1.h)"""
+
+    otype = "L1"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        diff = pred - target
+        values = jnp.abs(diff) / pdf / n_total
+        gradient = jnp.where(diff >= 0, 1.0, -1.0) / pdf / n_total
+        return values, gradient
+
+
+class RelativeL1Loss(Loss):
+    """L1 normalized by |prediction| + 0.01 (reference: losses/relative_l1.h)."""
+
+    otype = "RelativeL1"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        diff = pred - target
+        scale = 1.0 / (jnp.abs(pred) + 1e-2) / pdf
+        values = jnp.abs(diff) * scale / n_total
+        gradient = jnp.where(diff >= 0, scale, -scale) / n_total
+        return values, gradient
+
+
+class MapeLoss(Loss):
+    """Mean absolute percentage error (reference: losses/mape.h)."""
+
+    otype = "Mape"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        diff = pred - target
+        scale = 1.0 / (jnp.abs(target) + 1e-2) / pdf
+        values = jnp.abs(diff) * scale / n_total
+        gradient = jnp.where(diff >= 0, scale, -scale) / n_total
+        return values, gradient
+
+
+class SmapeLoss(Loss):
+    """Symmetric MAPE (reference: losses/smape.h)."""
+
+    otype = "Smape"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        diff = pred - target
+        scale = 1.0 / (0.5 * (jnp.abs(target) + jnp.abs(pred)) + 1e-2) / pdf
+        values = jnp.abs(diff) * scale / n_total
+        gradient = jnp.where(diff >= 0, scale, -scale) / n_total
+        return values, gradient
+
+
+class CrossEntropyLoss(Loss):
+    """-target*log(pred) (reference: losses/cross_entropy.h). The 1/n_total
+    normalization is folded into ``factor`` and therefore applies to both the
+    value and the gradient, same as every other loss."""
+
+    otype = "CrossEntropy"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        factor = -target / pdf / n_total
+        values = factor * jnp.log(pred)
+        gradient = factor / pred
+        return values, gradient
+
+
+class VarianceIsLoss(Loss):
+    """Variance of an importance sampler (reference: losses/variance_is.h)."""
+
+    otype = "Variance"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        factor = target * target / pdf / n_total
+        values = factor / pred - factor / pdf
+        gradient = -factor / (pred * pred)
+        return values, gradient
+
+
+class ConstantLoss(Loss):
+    """Constant-gradient debugging loss (reference: losses/constant.h; not
+    registered in the factory there either)."""
+
+    otype = "Constant"
+
+    def _value_and_gradient(self, pred, target, pdf, n_total):
+        values = pred / n_total
+        gradient = jnp.ones_like(pred) / n_total
+        return values, gradient
+
+
+_LOSS_FACTORIES: "CIDict" = CIDict()
+
+
+def register_loss(name: str, factory: Callable[[Dict], Loss]):
+    if name in _LOSS_FACTORIES:
+        raise RuntimeError(f"Can not register loss '{name}' twice.")
+    _LOSS_FACTORIES[name] = factory
+
+
+for _cls in (
+    L2Loss,
+    RelativeL2Loss,
+    RelativeL2LuminanceLoss,
+    L1Loss,
+    RelativeL1Loss,
+    MapeLoss,
+    SmapeLoss,
+    CrossEntropyLoss,
+    VarianceIsLoss,
+):
+    register_loss(_cls.otype, lambda cfg, c=_cls: c())
+
+
+def create_loss(config: Optional[Dict] = None) -> Loss:
+    """Factory (reference: src/loss.cu:81-90; default otype RelativeL2)."""
+    name = json_value(config, "otype", "RelativeL2")
+    if name not in _LOSS_FACTORIES:
+        raise ValueError(f"Loss '{name}' not found")
+    loss = _LOSS_FACTORIES[name](config or {})
+    loss.update_hyperparams(config or {})
+    return loss
+
+
+def builtin_losses():
+    return sorted(_LOSS_FACTORIES.keys())

@@ -1,0 +1,62 @@
+"""FullyFusedMLP — the flagship network, backed by the Pallas kernel.
+
+(reference: networks/fully_fused_mlp.h, src/fully_fused_mlp.cu). Supported
+widths are {16, 32, 64, 128} like the reference (fully_fused_mlp.cu:895-898);
+parameter layout, initialization, and JSON surface are identical to MLP —
+only the execution strategy differs (one Pallas kernel with VMEM-resident
+weights instead of an XLA matmul chain).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..common import Activation
+from ..ops.ffmlp import ffmlp_apply
+from .mlp import MLP
+
+FFMLP_WIDTHS = (16, 32, 64, 128)
+
+
+class FullyFusedMLP(MLP):
+    otype = "FullyFusedMLP"
+
+    def __init__(
+        self,
+        input_width: int,
+        output_width: int,
+        n_neurons: int = 64,
+        n_hidden_layers: int = 5,
+        activation: Activation = Activation.ReLU,
+        output_activation: Activation = Activation.NONE,
+        output_alignment: int = 16,
+        use_pallas: bool = True,
+    ):
+        if n_neurons not in FFMLP_WIDTHS:
+            raise ValueError(
+                f"FullyFusedMLP only supports widths {FFMLP_WIDTHS}, got {n_neurons}"
+            )
+        if input_width % 16 != 0:
+            raise ValueError(
+                f"FullyFusedMLP requires input width aligned to 16, got {input_width}"
+            )
+        super().__init__(
+            input_width=input_width,
+            output_width=output_width,
+            n_neurons=n_neurons,
+            n_hidden_layers=n_hidden_layers,
+            activation=activation,
+            output_activation=output_activation,
+            output_alignment=output_alignment,
+        )
+        self.use_pallas = use_pallas
+
+    def apply(self, params, x):
+        if not self.use_pallas:
+            return super().apply(params, x)
+        dt = self.compute_dtype
+        ws = self._weights(params)
+        weights_t = tuple(w.astype(dt).T for w in ws)
+        return ffmlp_apply(
+            x.astype(dt), weights_t, self.activation, self.output_activation
+        )

@@ -1,0 +1,204 @@
+"""Fully fused MLP — Pallas TPU kernel.
+
+TPU-native analogue of the reference's ``kernel_mlp_fused``
+(reference: src/fully_fused_mlp.cu:499-557): the *entire* MLP runs in one
+kernel launch per batch tile. Where the CUDA kernel keeps weights in per-warp
+register fragments and activations in shared memory, here all weight
+matrices are pinned in VMEM for the kernel's lifetime and the batch is tiled
+over the Pallas grid; every layer is one MXU pass (``jnp.dot`` with fp32
+accumulation) with the activation applied in-register by the VPU. No
+activation tensor ever round-trips to HBM — that is the entire point of
+"fully fused" on both architectures.
+
+Backward follows the Pallas custom-VJP pattern: the forward kernel's
+residuals are just ``(params, x)`` and the backward pass *recomputes* the
+layer activations (FLOPs are cheaper than HBM on TPU) while walking the
+layers in reverse — the analogue of ``kernel_mlp_fused_backward``
+(fully_fused_mlp.cu:151-259) with the weight-gradient GEMMs
+(dL_dy^T · activations, the split-k CUTLASS calls at :784-830) expressed as
+XLA matmuls that the compiler schedules in parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..common import Activation
+from ..networks.activations import activation_fn
+from .pallas_utils import cdiv, interpret_mode
+
+# Batch rows processed per grid step. 512 rows x 128 lanes of bf16 keeps the
+# MXU busy while all weights + two activation buffers stay far under VMEM.
+DEFAULT_TILE_B = 512
+
+
+def _mlp_kernel(x_ref, *refs, activation: Activation, output_activation: Activation,
+                n_layers: int, out_dtype):
+    """One batch tile through the whole MLP. refs = (w0, ..., wn-1, out)."""
+    w_refs = refs[:n_layers]
+    out_ref = refs[n_layers]
+    h = x_ref[...]
+    for i in range(n_layers):
+        w = w_refs[i][...]
+        acc = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        act = output_activation if i == n_layers - 1 else activation
+        acc = activation_fn(acc, act)
+        h = acc.astype(out_dtype if i == n_layers - 1 else h.dtype)
+    out_ref[...] = h
+
+
+def mlp_forward_pallas(
+    x: jnp.ndarray,
+    weights_t: Sequence[jnp.ndarray],
+    activation: Activation,
+    output_activation: Activation,
+    tile_b: int = DEFAULT_TILE_B,
+) -> jnp.ndarray:
+    """Run the fused forward pass.
+
+    Args:
+      x: (batch, in_width) in the compute dtype (bf16).
+      weights_t: transposed weights [(in, w), (w, w)..., (w, out_p)] in the
+        compute dtype — i.e. ``W_i^T`` of the stored row-major matrices so the
+        kernel computes ``h @ W^T`` as plain ``h @ w``.
+    """
+    batch, in_width = x.shape
+    out_width = weights_t[-1].shape[1]
+    n_layers = len(weights_t)
+    dtype = x.dtype
+
+    tile_b = min(tile_b, max(128, cdiv(batch, 1)))
+    padded_batch = cdiv(batch, tile_b) * tile_b
+    if padded_batch != batch:
+        x = jnp.pad(x, ((0, padded_batch - batch), (0, 0)))
+
+    grid = (padded_batch // tile_b,)
+    kernel = functools.partial(
+        _mlp_kernel,
+        activation=activation,
+        output_activation=output_activation,
+        n_layers=n_layers,
+        out_dtype=dtype,
+    )
+
+    in_specs = [
+        pl.BlockSpec((tile_b, in_width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    for w in weights_t:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    flops_per_row = 2 * sum(a.shape[0] * a.shape[1] for a in weights_t)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile_b, out_width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded_batch, out_width), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * padded_batch,
+            bytes_accessed=(
+                padded_batch * (in_width + out_width) * 2
+                + sum(a.size for a in weights_t) * 2
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(x, *weights_t)
+
+    if padded_batch != batch:
+        out = out[:batch]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ffmlp_apply(x, weights_t, activation: Activation, output_activation: Activation):
+    """Differentiable fused MLP: forward on the Pallas kernel, backward via
+    recompute + reverse walk (see module docstring)."""
+    return mlp_forward_pallas(x, tuple(weights_t), activation, output_activation)
+
+
+def _jnp_forward_saving(x, weights_t, activation, output_activation):
+    """Reference (XLA) forward that returns pre-activations for the backward
+    walk. Matches the kernel's math: bf16 inputs, fp32 accumulation."""
+    pre = []
+    h = x
+    n = len(weights_t)
+    for i, w in enumerate(weights_t):
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        pre.append(z)
+        act = output_activation if i == n - 1 else activation
+        h = activation_fn(z, act).astype(x.dtype)
+    return h, pre
+
+
+def _ffmlp_fwd(x, weights_t, activation, output_activation):
+    out = mlp_forward_pallas(x, tuple(weights_t), activation, output_activation)
+    return out, (x, tuple(weights_t))
+
+
+def _act_bwd(g, z, act: Activation):
+    """dL/dz given dL/da where a = act(z); fp32."""
+    if act == Activation.NONE:
+        return g
+    _, vjp = jax.vjp(lambda t: activation_fn(t, act), z)
+    return vjp(g)[0]
+
+
+def _ffmlp_bwd(activation, output_activation, residuals, g):
+    x, weights_t = residuals
+    n = len(weights_t)
+    # Recompute hidden activations (inputs to each layer).
+    layer_inputs = [x]
+    h = x
+    for i, w in enumerate(weights_t[:-1]):
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        h = activation_fn(z, activation).astype(x.dtype)
+        layer_inputs.append(h)
+    pre_out = jnp.dot(
+        layer_inputs[-1], weights_t[-1], preferred_element_type=jnp.float32
+    )
+
+    g = g.astype(jnp.float32)
+    dws = [None] * n
+    # Output layer.
+    delta = _act_bwd(g, pre_out, output_activation)
+    for i in range(n - 1, -1, -1):
+        # Weight gradient GEMM in the compute dtype with fp32 accumulation,
+        # like the reference's split-k fc_multiply (fully_fused_mlp.cu:784-830).
+        dws[i] = jnp.dot(
+            layer_inputs[i].astype(x.dtype).T,
+            delta.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(weights_t[i].dtype)
+        delta_prev = jnp.dot(
+            delta.astype(x.dtype),
+            weights_t[i].T,
+            preferred_element_type=jnp.float32,
+        )
+        if i > 0:
+            z_prev = jnp.dot(
+                layer_inputs[i - 1], weights_t[i - 1],
+                preferred_element_type=jnp.float32,
+            )
+            delta = _act_bwd(delta_prev, z_prev, activation)
+        else:
+            dx = delta_prev.astype(x.dtype)
+    return dx, tuple(dws)
+
+
+ffmlp_apply.defvjp(_ffmlp_fwd, _ffmlp_bwd)

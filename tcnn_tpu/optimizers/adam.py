@@ -1,0 +1,193 @@
+"""Adam with tiny-cuda-nn's exact semantics.
+
+(reference: optimizers/adam.h:47-127). Notable deviations from textbook Adam
+that we reproduce bit-for-bit:
+
+- gradients are descaled by ``loss_scale`` on entry;
+- params are split into *matrix* weights (the first ``n_matrix_weights``
+  entries, covered by ``layer_sizes``) and *non-matrix* params (hash grid
+  tables etc.) with separate l2 regularization, learning-rate factor and
+  enable flags;
+- non-matrix params whose gradient is exactly zero are skipped entirely
+  (no moment update, no step count) when ``skip_zero_grad_non_matrix_params``
+  — hash-grid entries that no sample touched this batch keep their state;
+- each parameter debiases with its *own* step counter (adam.h:111-113);
+- optional AdaBound lr clamping (adam.h:161-168), relative/absolute weight
+  decay applied as ``(1 - rwd*lr)*w - sign(w)*awd*lr`` (common_device.h:1045),
+  gradient/weight clipping.
+
+The whole update is one fused elementwise XLA kernel over the flat vector —
+the analogue of the single ``adam_step`` CUDA kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import json_value
+from .base import Optimizer
+
+
+class AdamOptimizer(Optimizer):
+    otype = "Adam"
+
+    def __init__(self, params: Dict = None):
+        super().__init__()
+        self.base_learning_rate = 1e-3
+        self.beta1 = 0.9
+        self.beta2 = 0.999
+        self.epsilon = 1e-8
+        self.l2_reg = 1e-8
+        self.non_matrix_learning_rate_factor = 1.0
+        self.non_matrix_l2_reg = 0.0
+        self.relative_weight_decay = 0.0
+        self.absolute_weight_decay = 0.0
+        self.weight_clipping_magnitude = 0.0
+        self.gradient_clipping_magnitude = 0.0
+        self.adabound = False
+        self.optimize_matrix_params = True
+        self.optimize_non_matrix_params = True
+        self.skip_zero_grad_non_matrix_params = True
+        self.update_hyperparams(params or {})
+
+    def init_state(self):
+        n = self.n_weights
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "first_moments": jnp.zeros((n,), jnp.float32),
+            "second_moments": jnp.zeros((n,), jnp.float32),
+            "param_steps": jnp.zeros((n,), jnp.int32),
+        }
+
+    def step(self, state, params, grads, loss_scale: float):
+        n = self.n_weights
+        n_matrix = self.n_matrix_weights
+        is_matrix = jnp.arange(n) < n_matrix
+
+        current_step = state["step"] + 1
+
+        gradient = grads.astype(jnp.float32) / loss_scale
+
+        # Which params update this step (adam.h:79-88).
+        active_matrix = bool(self.optimize_matrix_params)
+        active_non_matrix = bool(self.optimize_non_matrix_params)
+        active = jnp.where(is_matrix, active_matrix, active_non_matrix)
+        if self.skip_zero_grad_non_matrix_params:
+            active = active & (is_matrix | (gradient != 0.0))
+
+        weight_fp = params.astype(jnp.float32)
+        gradient = gradient + jnp.where(
+            is_matrix, self.l2_reg, self.non_matrix_l2_reg
+        ) * weight_fp
+
+        if self.gradient_clipping_magnitude != 0.0:
+            gradient = jnp.clip(
+                gradient,
+                -self.gradient_clipping_magnitude,
+                self.gradient_clipping_magnitude,
+            )
+
+        first = self.beta1 * state["first_moments"] + (1 - self.beta1) * gradient
+        second = (
+            self.beta2 * state["second_moments"]
+            + (1 - self.beta2) * gradient * gradient
+        )
+
+        lr = jnp.where(
+            is_matrix,
+            self.base_learning_rate,
+            self.base_learning_rate * self.non_matrix_learning_rate_factor,
+        )
+
+        # Per-param step counters for debiasing (adam.h:111-113).
+        param_steps = state["param_steps"] + active.astype(jnp.int32)
+        ps = jnp.maximum(param_steps, 1).astype(jnp.float32)
+        lr = lr * jnp.sqrt(1 - self.beta2**ps) / (1 - self.beta1**ps)
+
+        # AdaBound bounds (adam.h:161-168) depend on the global step count.
+        if self.adabound:
+            t = current_step.astype(jnp.float32)
+            lower = 0.1 - 0.1 / ((1 - self.beta2) * t + 1)
+            upper = 0.1 + 0.1 / ((1 - self.beta2) * t)
+        else:
+            lower = 0.0
+            upper = jnp.float32(np.finfo(np.float32).max)
+
+        effective_lr = jnp.clip(lr / (jnp.sqrt(second) + self.epsilon), lower, upper)
+
+        decayed = (1 - self.relative_weight_decay * lr) * weight_fp - jnp.sign(
+            weight_fp
+        ) * (self.absolute_weight_decay * lr)
+        new_weight = decayed - effective_lr * first
+
+        if self.weight_clipping_magnitude != 0.0:
+            new_weight = jnp.clip(
+                new_weight,
+                -self.weight_clipping_magnitude,
+                self.weight_clipping_magnitude,
+            )
+
+        new_params = jnp.where(active, new_weight, weight_fp)
+        new_state = {
+            "step": current_step,
+            "first_moments": jnp.where(active, first, state["first_moments"]),
+            "second_moments": jnp.where(active, second, state["second_moments"]),
+            "param_steps": param_steps,
+        }
+        return new_state, new_params
+
+    @property
+    def learning_rate(self) -> float:
+        return self.base_learning_rate
+
+    @learning_rate.setter
+    def learning_rate(self, value: float):
+        self.base_learning_rate = float(value)
+
+    def update_hyperparams(self, params: Dict):
+        for key, attr in [
+            ("beta1", "beta1"),
+            ("beta2", "beta2"),
+            ("epsilon", "epsilon"),
+            ("learning_rate", "base_learning_rate"),
+            ("l2_reg", "l2_reg"),
+            ("adabound", "adabound"),
+            ("relative_decay", "relative_weight_decay"),
+            ("absolute_decay", "absolute_weight_decay"),
+            ("clipping_magnitude", "weight_clipping_magnitude"),
+            ("gradient_clipping_magnitude", "gradient_clipping_magnitude"),
+            ("non_matrix_learning_rate_factor", "non_matrix_learning_rate_factor"),
+            ("non_matrix_l2_reg", "non_matrix_l2_reg"),
+            ("optimize_matrix_params", "optimize_matrix_params"),
+            ("optimize_non_matrix_params", "optimize_non_matrix_params"),
+            (
+                "skip_zero_grad_non_matrix_params",
+                "skip_zero_grad_non_matrix_params",
+            ),
+        ]:
+            v = json_value(params, key, None)
+            if v is not None:
+                setattr(self, attr, v)
+
+    def hyperparams(self) -> Dict:
+        return {
+            "otype": self.otype,
+            "beta1": self.beta1,
+            "beta2": self.beta2,
+            "epsilon": self.epsilon,
+            "learning_rate": self.base_learning_rate,
+            "l2_reg": self.l2_reg,
+            "adabound": self.adabound,
+            "relative_decay": self.relative_weight_decay,
+            "absolute_decay": self.absolute_weight_decay,
+            "clipping_magnitude": self.weight_clipping_magnitude,
+            "gradient_clipping_magnitude": self.gradient_clipping_magnitude,
+            "non_matrix_learning_rate_factor": self.non_matrix_learning_rate_factor,
+            "non_matrix_l2_reg": self.non_matrix_l2_reg,
+            "optimize_matrix_params": self.optimize_matrix_params,
+            "optimize_non_matrix_params": self.optimize_non_matrix_params,
+            "skip_zero_grad_non_matrix_params": self.skip_zero_grad_non_matrix_params,
+        }

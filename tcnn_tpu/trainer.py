@@ -1,0 +1,215 @@
+"""Trainer: couples model + optimizer + loss into one jitted training step.
+
+(reference: trainer.h). The reference captures forward+loss+backward in a
+CUDA graph and then launches a separate fused optimizer kernel; here the
+*entire* step — encode, network, loss, backward, optimizer — is a single
+``jax.jit`` program, traced once and replayed (jit is the TPU's CUDA graph,
+XLA whole-graph fusion is its RTC JIT, cf. trainer.h:163-252, 344-354).
+
+Gradient plumbing parity: the loss produces explicit ``dL_doutput`` scaled by
+``loss_scale`` (trainer.h:137); the model's parameter/input gradients come
+from ``jax.vjp`` seeded with it; the optimizer divides the scale back out.
+Because our flat params are fp32 masters and the cast to the bf16 compute
+copy happens inside ``apply``, gradients accumulate in fp32 (better than the
+reference's half-precision gradient buffer).
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import default_loss_scale
+from .losses import Loss
+from .optimizers import Optimizer
+from .rng import make_rng
+from .utils.log import log_warning
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        optimizer: Optimizer,
+        loss: Loss,
+        seed: int = 1337,
+        loss_scale: Optional[float] = None,
+        perturbation_sigma: Optional[float] = None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.loss = loss
+        self.loss_scale = (
+            float(loss_scale)
+            if loss_scale is not None
+            else default_loss_scale(model.compute_dtype)
+        )
+        self.perturbation_sigma = perturbation_sigma
+        if perturbation_sigma is not None:
+            log_warning("output perturbation is not implemented yet; ignoring")
+
+        self.optimizer.allocate(model.n_params, model.layer_sizes())
+        self.state: Dict[str, Any] = {}
+        self.initialize_params(seed)
+
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_train_step_pdf = jax.jit(
+            functools.partial(self._train_step_with_pdf), donate_argnums=(0,)
+        )
+
+    # -- params -----------------------------------------------------------
+    def initialize_params(self, seed: int = 1337):
+        """(reference: trainer.h:69-87)"""
+        rng = make_rng(seed)
+        params = self.model.initialize_params(rng)
+        assert params.shape == (self.model.n_params,)
+        self.state = {
+            "params": jnp.asarray(params, jnp.float32),
+            "opt": self.optimizer.init_state(),
+        }
+
+    @property
+    def params(self) -> jnp.ndarray:
+        return self.state["params"]
+
+    @params.setter
+    def params(self, value):
+        self.state["params"] = jnp.asarray(value, jnp.float32)
+
+    @property
+    def n_params(self) -> int:
+        return self.model.n_params
+
+    def inference_params(self) -> jnp.ndarray:
+        """Custom (EMA/averaged) weights if the optimizer keeps them,
+        else the training params (reference: trainer.h:496-500)."""
+        cw = self.optimizer.custom_weights(self.state["opt"])
+        if cw is None:
+            return self.state["params"]
+        if callable(cw):  # CompositeOptimizer stitches with live params
+            return cw(self.state["params"])
+        return cw
+
+    # -- pure step -----------------------------------------------------------
+    def _forward_backward(self, params, inputs, targets, data_pdf):
+        def fwd(p):
+            return self.model.apply(p, inputs)
+
+        output, vjp = jax.vjp(fwd, params)
+        values, dL_dy = self.loss.evaluate(
+            self.loss_scale, output, targets, data_pdf
+        )
+        grads = vjp(dL_dy)[0]
+        return jnp.sum(values), grads
+
+    def _train_step(self, state, inputs, targets):
+        return self._step_impl(state, inputs, targets, None)
+
+    def _train_step_with_pdf(self, state, inputs, targets, data_pdf):
+        return self._step_impl(state, inputs, targets, data_pdf)
+
+    def _step_impl(self, state, inputs, targets, data_pdf):
+        loss_value, grads = self._forward_backward(
+            state["params"], inputs, targets, data_pdf
+        )
+        opt_state, new_params = self.optimizer.step(
+            state["opt"], state["params"], grads, self.loss_scale
+        )
+        return {"params": new_params, "opt": opt_state}, loss_value
+
+    # -- public API ------------------------------------------------------------
+    def training_step(self, inputs, targets, data_pdf=None) -> jnp.ndarray:
+        """One training iteration; returns the scalar loss (lazy device
+        value — call ``float()`` on it to synchronize)."""
+        if data_pdf is None:
+            self.state, loss_value = self._jit_train_step(
+                self.state, inputs, targets
+            )
+        else:
+            self.state, loss_value = self._jit_train_step_pdf(
+                self.state, inputs, targets, data_pdf
+            )
+        return loss_value
+
+    def forward(self, inputs):
+        """Training-params forward, padded output (compute dtype)."""
+        return self.model.apply(self.state["params"], inputs)
+
+    def inference(self, inputs) -> jnp.ndarray:
+        """Serving path: inference params, trimmed fp32 output
+        (reference: object.h:214-271)."""
+        out = self.model.apply(self.inference_params(), inputs)
+        return out[:, : self.model.n_output_dims].astype(jnp.float32)
+
+    # -- hyperparams ------------------------------------------------------------
+    def update_hyperparams(self, params: Dict):
+        self.optimizer.update_hyperparams(params.get("optimizer", {}))
+        self.loss.update_hyperparams(params.get("loss", {}))
+        if hasattr(self.model, "update_hyperparams"):
+            self.model.update_hyperparams(params)
+        # Hyperparams are static w.r.t. tracing; re-jit.
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_train_step_pdf = jax.jit(
+            self._train_step_with_pdf, donate_argnums=(0,)
+        )
+
+    # -- serialization (reference: trainer.h:442-482) -------------------------
+    def serialize(self, serialize_optimizer: bool = False) -> Dict:
+        params = np.asarray(self.state["params"], np.float32)
+        blob = {
+            "n_params": int(self.model.n_params),
+            "params_type": "float",
+            "params_binary": base64.b64encode(params.tobytes()).decode("ascii"),
+        }
+        if serialize_optimizer:
+            opt_np = jax.tree_util.tree_map(
+                lambda a: np.asarray(a), self.state["opt"]
+            )
+            blob["optimizer"] = _tree_to_json(opt_np)
+        return blob
+
+    def deserialize(self, blob: Dict):
+        n = int(blob["n_params"])
+        if n != self.model.n_params:
+            raise ValueError(
+                f"checkpoint has {n} params, model has {self.model.n_params}"
+            )
+        dtype = np.float16 if blob.get("params_type") == "half" else np.float32
+        params = np.frombuffer(
+            base64.b64decode(blob["params_binary"]), dtype=dtype
+        ).astype(np.float32)
+        self.state["params"] = jnp.asarray(params)
+        if "optimizer" in blob:
+            template = self.optimizer.init_state()
+            self.state["opt"] = _tree_from_json(blob["optimizer"], template)
+
+
+def _tree_to_json(tree):
+    if isinstance(tree, dict):
+        return {k: _tree_to_json(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_tree_to_json(v) for v in tree]
+    arr = np.asarray(tree)
+    return {
+        "__ndarray__": base64.b64encode(arr.tobytes()).decode("ascii"),
+        "dtype": str(arr.dtype),
+        "shape": list(arr.shape),
+    }
+
+
+def _tree_from_json(blob, template):
+    if isinstance(blob, dict) and "__ndarray__" in blob:
+        arr = np.frombuffer(
+            base64.b64decode(blob["__ndarray__"]), dtype=np.dtype(blob["dtype"])
+        ).reshape(blob["shape"])
+        return jnp.asarray(arr)
+    if isinstance(blob, dict):
+        return {k: _tree_from_json(v, template[k]) for k, v in blob.items()}
+    if isinstance(blob, list):
+        return [_tree_from_json(v, template[i]) for i, v in enumerate(blob)]
+    return blob

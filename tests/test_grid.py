@@ -1,0 +1,193 @@
+"""Hash-grid construction invariants and numerics.
+
+Ports tests/test_grid.cu (per-level params/offsets, dense-vs-hash
+switchover, total n_params, forward smoke) and adds gradient checks
+including second order (double backward — reference grid.h:910-1042 /
+scripts/test_grid_bwdbwd.py — comes from jax.grad∘jax.grad here).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tcnn_tpu as tc
+from tcnn_tpu.encodings.grid import GridEncoding, create_grid_encoding
+from tcnn_tpu.rng import make_rng
+
+from utils import check_grads_fd
+
+
+def _hashgrid(**kw):
+    cfg = dict(
+        otype="HashGrid",
+        n_levels=16,
+        n_features_per_level=2,
+        log2_hashmap_size=15,
+        base_resolution=16,
+        per_level_scale=1.5,
+    )
+    cfg.update(kw)
+    return tc.create_encoding(kw.pop("n_dims", 2) if "n_dims" in kw else 2, cfg, 16)
+
+
+def test_offset_table_invariants():
+    enc = _hashgrid()
+    d = 2
+    hashmap = 1 << 15
+    for lvl in range(enc.n_levels):
+        size = int(enc.offset_table[lvl + 1] - enc.offset_table[lvl])
+        res = int(enc.resolutions[lvl])
+        dense = ((res**d + 7) // 8) * 8
+        assert size == min(dense, hashmap)
+        assert size % 8 == 0
+        # dense<->hash switchover
+        assert enc._use_hash[lvl] == (size < res**d)
+    assert enc.n_params == int(enc.offset_table[-1]) * 2
+
+
+def test_resolution_progression():
+    enc = _hashgrid()
+    # scale(l) = 2^(l*log2(1.5)) * 16 - 1; resolution = ceil(scale)+1
+    for lvl in range(enc.n_levels):
+        expect = int(np.ceil(2.0 ** (lvl * np.log2(1.5)) * 16 - 1)) + 1
+        assert int(enc.resolutions[lvl]) == expect
+
+
+def test_tiled_and_dense_types():
+    dense = tc.create_encoding(
+        2, {"otype": "DenseGrid", "n_levels": 4, "base_resolution": 8}, 16
+    )
+    assert dense.grid_type.value == "Dense"
+    assert not any(dense._use_hash)
+    tiled = tc.create_encoding(
+        2, {"otype": "TiledGrid", "n_levels": 4, "base_resolution": 8}, 16
+    )
+    # Tiled caps at base_res^d
+    for lvl in range(4):
+        size = int(tiled.offset_table[lvl + 1] - tiled.offset_table[lvl])
+        assert size <= 8 * 8
+
+
+def test_dense_default_per_level_scale():
+    enc = tc.create_encoding(
+        2, {"otype": "DenseGrid", "n_levels": 5, "base_resolution": 16}, 16
+    )
+    expect = np.exp(np.log(256.0 / 16.0) / 4)
+    assert abs(enc.per_level_scale - expect) < 1e-6
+
+
+def test_forward_smoke_and_padding():
+    enc = _hashgrid()
+    enc.output_dtype = jnp.float32
+    params = jnp.asarray(enc.initialize_params(make_rng(7)))
+    assert params.shape == (enc.n_params,)
+    assert float(jnp.abs(params).max()) <= 1e-4
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (128, 2)), jnp.float32)
+    y = jax.jit(enc.apply)(params, x)
+    assert y.shape == (128, enc.padded_output_width)
+    # grid pads with zeros (grid.h:757-767)
+    np.testing.assert_array_equal(np.asarray(y)[:, enc.n_output_dims :], 0.0)
+
+
+def test_interpolation_continuity():
+    """Output is continuous across cell boundaries for Linear interp."""
+    enc = tc.create_encoding(
+        1,
+        {"otype": "HashGrid", "n_levels": 2, "base_resolution": 8,
+         "n_features_per_level": 2, "per_level_scale": 2.0},
+        2,
+    )
+    enc.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(1).standard_normal(enc.n_params).astype(np.float32)
+    )
+    eps = 1e-5
+    xs = jnp.asarray([[0.5 - eps], [0.5 + eps]], jnp.float32)
+    y = np.asarray(enc.apply(params, xs))
+    assert np.abs(y[0] - y[1]).max() < 1e-3
+
+
+def test_param_gradients_deterministic():
+    enc = _hashgrid()
+    enc.output_dtype = jnp.float32
+    params = jnp.asarray(enc.initialize_params(make_rng(7)))
+    x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (256, 2)), jnp.float32)
+
+    @jax.jit
+    def g(p):
+        return jax.grad(lambda pp: (enc.apply(pp, x) ** 2).sum())(p)
+
+    g1, g2 = np.asarray(g(params)), np.asarray(g(params))
+    np.testing.assert_array_equal(g1, g2)  # deterministic, unlike CUDA atomics
+
+
+def test_first_and_second_order_gradients():
+    enc = tc.create_encoding(
+        2,
+        {"otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+         "log2_hashmap_size": 12, "base_resolution": 4, "per_level_scale": 1.5,
+         "interpolation": "Smoothstep"},
+        4,
+    )
+    enc.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(3).standard_normal(enc.n_params).astype(np.float32)
+        * 0.1
+    )
+    x = jnp.asarray(np.random.default_rng(4).uniform(0.3, 0.7, (8, 2)), jnp.float32)
+
+    def f(p, xx):
+        return (enc.apply(p, xx) ** 2).sum()
+
+    # First order wrt params and inputs.
+    check_grads_fd(f, (params, x))
+
+    # Double backward: d/dparams of ||d f/d x||^2 (the eikonal-loss pattern,
+    # scripts/test_grid_bwdbwd.py:75-97).
+    def eikonal(p):
+        gx = jax.grad(f, argnums=1)(p, x)
+        return (gx**2).sum()
+
+    g = jax.grad(eikonal)(params)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_max_level_masking():
+    enc = _hashgrid()
+    enc.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(5).standard_normal(enc.n_params).astype(np.float32)
+    )
+    x = jnp.asarray(np.random.default_rng(6).uniform(0, 1, (16, 2)), jnp.float32)
+    y = np.asarray(enc.apply(params, x, max_level=0.5))
+    F = enc.n_features_per_level
+    active_levels = int(np.floor(0.5 * enc.n_levels + 1e-3)) + 1
+    # levels >= ~half must be zeroed
+    assert np.abs(y[:, (active_levels) * F : enc.n_output_dims]).max() == 0
+    assert np.abs(y[:, : active_levels * F]).max() > 0
+
+
+def test_hash_types():
+    for hash_type in ("Prime", "CoherentPrime", "ReversedPrime", "BaseConvert"):
+        enc = tc.create_encoding(
+            3,
+            {"otype": "HashGrid", "n_levels": 4, "log2_hashmap_size": 10,
+             "base_resolution": 8, "hash": hash_type},
+            4,
+        )
+        params = jnp.asarray(enc.initialize_params(make_rng(11)))
+        x = jnp.asarray(np.random.default_rng(12).uniform(0, 1, (32, 3)),
+                        jnp.float32)
+        y = enc.apply(params, x)
+        assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def test_n_features_consistency_checks():
+    with pytest.raises(ValueError):
+        GridEncoding(2, n_features=3, n_features_per_level=2)
+    with pytest.raises(ValueError):
+        create_grid_encoding(
+            2, {"otype": "HashGrid", "n_features": 8, "n_levels": 4}
+        )

@@ -1,0 +1,129 @@
+"""Network tests: MLP shape sweeps, FFMLP (Pallas) vs MLP (XLA) parity.
+
+Mirrors tests/test_networks.cu: sweeps widths {16..128} x outputs x depths
+for both implementations; the XLA MLP is the numerics oracle for the Pallas
+kernel (the role CutlassMLP plays for FullyFusedMLP in the reference).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tcnn_tpu as tc
+from tcnn_tpu.networks import FullyFusedMLP, MLP
+from tcnn_tpu.rng import make_rng
+
+from utils import match_rae
+
+
+def _mk(cls, **kw):
+    kw.setdefault("input_width", 32)
+    kw.setdefault("output_width", 3)
+    kw.setdefault("n_neurons", 64)
+    kw.setdefault("n_hidden_layers", 2)
+    net = cls(**kw)
+    params = jnp.asarray(net.initialize_params(make_rng(1337)))
+    return net, params
+
+
+@pytest.mark.parametrize("width", [16, 32, 64, 128])
+@pytest.mark.parametrize("n_hidden", [1, 2])
+def test_ffmlp_matches_mlp(width, n_hidden):
+    mlp, params = _mk(MLP, n_neurons=width, n_hidden_layers=n_hidden)
+    ff = FullyFusedMLP(
+        input_width=32, output_width=3, n_neurons=width, n_hidden_layers=n_hidden
+    )
+    assert ff.n_params == mlp.n_params
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((256, 32)), jnp.bfloat16
+    )
+    y_ref = np.asarray(jax.jit(mlp.apply)(params, x).astype(jnp.float32))
+    y_ff = np.asarray(jax.jit(ff.apply)(params, x).astype(jnp.float32))
+    match_rae(y_ff, y_ref, 5e-2, percentile=99)
+
+
+def test_ffmlp_gradients_match_mlp():
+    mlp, params = _mk(MLP, n_neurons=64, n_hidden_layers=2)
+    ff, _ = _mk(FullyFusedMLP, n_neurons=64, n_hidden_layers=2)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((128, 32)) * 0.5, jnp.bfloat16
+    )
+
+    def loss(net):
+        def f(p):
+            return (net.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+        return f
+
+    g_ref = np.asarray(jax.jit(jax.grad(loss(mlp)))(params))
+    g_ff = np.asarray(jax.jit(jax.grad(loss(ff)))(params))
+    match_rae(g_ff, g_ref, 2e-2, percentile=99, mean_only=False)
+
+
+@pytest.mark.parametrize(
+    "activation", ["ReLU", "LeakyReLU", "SiLU", "Sine", "Sigmoid", "Squareplus",
+                   "Softplus", "Tanh", "None", "Exponential"]
+)
+def test_activations_finite_and_differentiable(activation):
+    net, params = _mk(
+        MLP,
+        n_neurons=32,
+        n_hidden_layers=1,
+        activation=tc.Activation(activation),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((64, 32)) * 0.1, jnp.bfloat16
+    )
+    y = jax.jit(net.apply)(params, x)
+    assert np.isfinite(np.asarray(y, np.float32)).all()
+    g = jax.grad(lambda p: net.apply(p, x).astype(jnp.float32).sum())(params)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_zero_hidden_layers_is_single_matmul():
+    net, params = _mk(MLP, n_hidden_layers=0, input_width=16, output_width=8)
+    assert net.n_params == 16 * 16  # padded out 16 x in 16
+    # positive inputs avoid near-zero sums whose *relative* error is
+    # unbounded in bf16
+    x = jnp.asarray(np.random.default_rng(3).uniform(0.1, 1.0, (32, 16)),
+                    jnp.float32)
+    y = net.apply(params, x)
+    w = params.reshape(16, 16)
+    expect = np.asarray(x, np.float32) @ np.asarray(w, np.float32).T
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), expect,
+        atol=0.02 * np.abs(expect).max(), rtol=0.05,
+    )
+
+
+def test_param_layout_row_major_order():
+    net, params = _mk(MLP, input_width=16, output_width=3, n_neurons=32,
+                      n_hidden_layers=2)
+    # [W_in (32x16), W_h (32x32), W_out (16x32)]
+    assert net.layer_sizes() == [(32, 16), (32, 32), (16, 32)]
+    assert net.n_params == 32 * 16 + 32 * 32 + 16 * 32
+
+
+def test_factory_selection():
+    ff = tc.create_network(32, 3, {"otype": "FullyFusedMLP", "n_neurons": 64})
+    assert ff.otype == "FullyFusedMLP"
+    cut = tc.create_network(32, 3, {"otype": "CutlassMLP", "n_neurons": 64})
+    assert cut.otype == "CutlassMLP"
+    # width 96 unsupported by FFMLP -> fallback
+    fb = tc.create_network(32, 3, {"otype": "FullyFusedMLP", "n_neurons": 96})
+    assert fb.otype == "CutlassMLP"
+    auto = tc.create_network(32, 3, {"otype": "MLP", "n_neurons": 128})
+    assert auto.otype == "FullyFusedMLP"
+    with pytest.raises(ValueError):
+        tc.create_network(32, 3, {"otype": "NotANetwork"})
+
+
+def test_siren_initialization_scale():
+    net = MLP(input_width=32, output_width=3, n_neurons=64, n_hidden_layers=2,
+              activation=tc.Activation.Sine)
+    params = net.initialize_params(make_rng(5))
+    w_in = params[: 64 * 32]
+    # first layer: U(-30/fan_in, 30/fan_in)
+    assert np.abs(w_in).max() <= 30.0 / 32 + 1e-6
+    assert np.abs(w_in).max() > 0.5 * 30.0 / 32

@@ -1,0 +1,82 @@
+"""Shampoo optimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tcnn_tpu as tc
+
+N = 96
+LAYERS = [(8, 4), (4, 8)]  # 64 matrix weights, 32 non-matrix
+
+
+def _mk(cfg=None):
+    opt = tc.create_optimizer({"otype": "Shampoo", **(cfg or {})})
+    opt.allocate(N, LAYERS)
+    return opt, opt.init_state()
+
+
+def test_inverse_4th_root():
+    from tcnn_tpu.optimizers.shampoo import _inverse_4th_root
+
+    r = np.random.default_rng(0)
+    a = r.standard_normal((8, 8)).astype(np.float32)
+    spd = a @ a.T + 0.5 * np.eye(8, dtype=np.float32)
+    x = np.asarray(jax.jit(_inverse_4th_root)(jnp.asarray(spd)))
+    # x^4 @ spd should be I
+    x4 = x @ x @ x @ x
+    np.testing.assert_allclose(x4 @ spd, np.eye(8), atol=5e-3)
+
+
+def test_step_runs_and_first_step_freezes_matrices():
+    opt, state = _mk()
+    r = np.random.default_rng(1)
+    params = jnp.asarray(r.standard_normal(N).astype(np.float32))
+    grads = jnp.asarray(r.standard_normal(N).astype(np.float32) * 128.0)
+    step = jax.jit(opt.step)
+    state1, p1 = step(state, params, grads, 128.0)
+    # Matrix params untouched on the first step (shampoo.h:766-768)...
+    np.testing.assert_array_equal(np.asarray(p1)[:64], np.asarray(params)[:64])
+    # ...but non-matrix params get the grafting update.
+    assert np.abs(np.asarray(p1)[64:] - np.asarray(params)[64:]).min() > 0
+
+    state2, p2 = step(state1, p1, grads, 128.0)
+    assert np.isfinite(np.asarray(p2)).all()
+    assert np.abs(np.asarray(p2)[:64] - np.asarray(p1)[:64]).max() > 0
+
+
+def test_training_convergence_quadratic():
+    """Shampoo should descend a simple quadratic: params are one 8x4 matrix."""
+    opt = tc.create_optimizer({"otype": "Shampoo", "learning_rate": 5e-2,
+                               "l2_reg": 0.0})
+    opt.allocate(32, [(8, 4)])
+    state = opt.init_state()
+    target = jnp.asarray(
+        np.random.default_rng(2).standard_normal(32).astype(np.float32)
+    )
+    params = jnp.zeros(32)
+    step = jax.jit(opt.step)
+    losses = []
+    for _ in range(60):
+        grads = 2.0 * (params - target)
+        state, params = step(state, params, grads, 1.0)
+        losses.append(float(jnp.sum((params - target) ** 2)))
+    assert losses[-1] < 0.1 * losses[0], f"{losses[0]} -> {losses[-1]}"
+
+
+def test_end_to_end_with_trainer():
+    config = {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "Shampoo", "learning_rate": 5e-3},
+        "encoding": {"otype": "Identity"},
+        "network": {"otype": "CutlassMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    }
+    model = tc.create_from_config(2, 2, config)
+    r = np.random.default_rng(3)
+    losses = []
+    for _ in range(40):
+        x = jnp.asarray(r.uniform(0, 1, (256, 2)).astype(np.float32))
+        y = x[:, ::-1] * 0.5
+        losses.append(float(model.training_step(x, y)))
+    assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:5])
