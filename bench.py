@@ -37,6 +37,15 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    # Persistent compile cache: the flagship step takes many minutes to
+    # compile on the remote-compile service; repeat runs hit the disk cache.
+    from pathlib import Path as _P
+
+    cache_dir = _P(__file__).resolve().parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     import tcnn_tpu as tc

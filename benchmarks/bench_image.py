@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Image-fit throughput benchmark over a batch-size sweep.
+
+Port of the reference protocol (benchmarks/image/bench_ours.cu:188-223):
+config_oneblob (OneBlob-64 + FFMLP 128x5, RelativeL2, Adam), batch sweep
+2^14..2^21, reporting training and inference throughput. The
+``--baseline`` flag swaps the Pallas FullyFusedMLP for the plain XLA MLP —
+the role bench_tensorflow.py (TF+XLA) plays for the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CONFIG_ONEBLOB = {
+    "loss": {"otype": "RelativeL2"},
+    "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+    "encoding": {"otype": "OneBlob", "n_bins": 32},
+    "network": {
+        "otype": "FullyFusedMLP",
+        "activation": "ReLU",
+        "output_activation": "None",
+        "n_neurons": 128,
+        "n_hidden_layers": 5,
+    },
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-pow", type=int, default=14)
+    ap.add_argument("--max-pow", type=int, default=21)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--baseline", action="store_true",
+                    help="use the XLA MLP instead of the Pallas FFMLP")
+    ap.add_argument("--out", default="bench_image_result.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import tcnn_tpu as tc
+
+    config = json.loads(json.dumps(CONFIG_ONEBLOB))
+    if args.baseline:
+        config["network"]["otype"] = "CutlassMLP"
+
+    results = []
+    for p in range(args.min_pow, args.max_pow + 1):
+        batch = 1 << p
+        model = tc.create_from_config(2, 3, config)
+        trainer = model.trainer
+
+        r = np.random.default_rng(0)
+        xy = jnp.asarray(r.uniform(0, 1, (batch, 2)).astype(np.float32))
+        target = jnp.asarray(r.uniform(0, 1, (batch, 3)).astype(np.float32))
+
+        step = jax.jit(trainer._train_step, donate_argnums=(0,))
+        state = trainer.state
+        state, loss = step(state, xy, target)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, loss = step(state, xy, target)
+        jax.block_until_ready(loss)
+        train_tput = batch * args.iters / (time.perf_counter() - t0)
+
+        infer = jax.jit(lambda p, x: model.model.apply(p, x))
+        out = infer(state["params"], xy)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = infer(state["params"], xy)
+        jax.block_until_ready(out)
+        infer_tput = batch * args.iters / (time.perf_counter() - t0)
+
+        entry = {
+            "batch": batch,
+            "training_elements_per_second": round(train_tput, 1),
+            "inference_elements_per_second": round(infer_tput, 1),
+            "method": "xla_mlp" if args.baseline else "pallas_ffmlp",
+        }
+        print(json.dumps(entry))
+        results.append(entry)
+
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    print(f"# wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

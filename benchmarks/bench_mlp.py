@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""MLP inference/training throughput benchmark.
+
+Port of the reference protocol (benchmarks/mlp/bench_mlp_ours.cu:64-137):
+batch 2^20, widths {32, 64, 128}, 3 hidden layers, ReLU; metric is
+elements/second for each method {fully_fused (Pallas), xla (jnp chain)}.
+Writes bench_result_ours.json in the same spirit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def bench_one(width: int, batch: int, iters: int, method: str, train: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from tcnn_tpu.networks import FullyFusedMLP, MLP
+    from tcnn_tpu.rng import make_rng
+
+    cls = FullyFusedMLP if method == "fully_fused" else MLP
+    kwargs = {} if method == "fully_fused" else {}
+    net = cls(
+        input_width=width,
+        output_width=width,
+        n_neurons=width,
+        n_hidden_layers=3,
+        **kwargs,
+    )
+    params = jnp.asarray(net.initialize_params(make_rng(1337)))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, width)), jnp.bfloat16
+    )
+
+    if train:
+        @jax.jit
+        def fn(p, x):
+            return jax.grad(
+                lambda pp: net.apply(pp, x).astype(jnp.float32).sum()
+            )(p)
+    else:
+        fn = jax.jit(net.apply)
+
+    out = fn(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2**20)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--widths", type=int, nargs="+", default=[32, 64, 128])
+    ap.add_argument("--out", default="bench_result_ours.json")
+    args = ap.parse_args()
+
+    results = []
+    for width in args.widths:
+        for method in ("fully_fused", "xla"):
+            for train in (False, True):
+                tput = bench_one(width, args.batch, args.iters, method, train)
+                entry = {
+                    "width": width,
+                    "method": method,
+                    "mode": "training" if train else "inference",
+                    "batch": args.batch,
+                    "elements_per_second": round(tput, 1),
+                }
+                print(json.dumps(entry))
+                results.append(entry)
+
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    print(f"# wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

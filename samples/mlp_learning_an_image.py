@@ -24,6 +24,8 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 DEFAULT_CONFIG = {
     "loss": {"otype": "RelativeL2"},
     "optimizer": {"otype": "Adam", "learning_rate": 1e-2},

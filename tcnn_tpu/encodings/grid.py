@@ -155,6 +155,10 @@ class GridEncoding(Encoding):
         self.interpolation_type = interpolation_type
         self.grid_type = grid_type
         self.hash_type = hash_type
+        # TPU gather strategy: "per_level" (default; loop fusion) or
+        # "fused" (single materialized gather). Empirical on v5e — see
+        # PLAN.md perf notes.
+        self.gather_strategy = "per_level"
 
         if hash_type == HashType.Rng:
             raise NotImplementedError(
@@ -256,8 +260,15 @@ class GridEncoding(Encoding):
         batch = x.shape[0]
 
         table = params.reshape(-1, F)
+        n_corners = 1 if self.interpolation_type == InterpolationType.Nearest else 2**d
 
-        per_level_out = []
+        # Per-level index/weight computation is cheap vectorized arithmetic;
+        # the expensive part — the table lookup — is batched into ONE gather
+        # across all levels. (XLA TPU schedules N separate gathers an order
+        # of magnitude worse than one fused gather, and random access is the
+        # dominant cost of this encoding on TPU.)
+        idx_levels = []
+        w_levels = []
         for lvl in range(L):
             scale = float(self.scales[lvl])
             res = int(self.resolutions[lvl])
@@ -299,15 +310,32 @@ class GridEncoding(Encoding):
                     idx = idx + corner[..., dim] * jnp.uint32(stride)
                     stride *= res
             idx = idx % jnp.uint32(level_size)
-            global_idx = idx.astype(jnp.int32) + jnp.int32(level_offset)
+            idx_levels.append(idx.astype(jnp.int32) + jnp.int32(level_offset))
+            w_levels.append(weights)
 
-            feats = table[global_idx]  # (B, C, F)
-            level_out = jnp.sum(
-                feats * weights[..., None].astype(feats.dtype), axis=1
-            )  # (B, F)
-            per_level_out.append(level_out)
-
-        y = jnp.stack(per_level_out, axis=1)  # (B, L, F)
+        if self.gather_strategy == "fused":
+            # ONE gather across all levels; promise_in_bounds (indices are
+            # %-reduced above) — XLA's default bounds-checked gather takes a
+            # catastrophically slower path on TPU standalone, and the VJP
+            # inherits the mode for the scatter-add.
+            global_idx = jnp.stack(idx_levels, axis=1)  # (B, L, C)
+            weights = jnp.stack(w_levels, axis=1)  # (B, L, C)
+            feats = table.at[global_idx.reshape(batch, L * n_corners)].get(
+                mode="promise_in_bounds"
+            )  # (B, L*C, F)
+            feats = feats.reshape(batch, L, n_corners, F)
+            y = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)
+        else:
+            # Per-level gathers; XLA fuses each into the surrounding
+            # interpolation arithmetic (loop fusion), which measures faster
+            # in the full training step than the materialized fused gather.
+            outs = []
+            for lvl in range(L):
+                feats = table[idx_levels[lvl]]  # (B, C, F)
+                outs.append(
+                    jnp.sum(feats * w_levels[lvl][..., None], axis=1)
+                )
+            y = jnp.stack(outs, axis=1)  # (B, L, F)
 
         if max_level is not None:
             # Level l is active iff l < max_level * L + 1e-3 (grid.h:69-92).
