@@ -87,28 +87,28 @@ def main():
     ).astype(np.float32)
     image_dev = jnp.asarray(image)
 
-    def sample_batch(key):
+    # NOTE: the image is an explicit argument — closure-captured device
+    # arrays are inlined as constants at lowering time, which forces a
+    # device->host fetch (randomly stalls over the tunnel) and bloats the
+    # compile-cache key.
+    @jax.jit
+    def bench_step(state, key, img):
         xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)
         ij = jnp.clip((xy * res).astype(jnp.int32), 0, res - 1)
-        target = image_dev[ij[:, 1], ij[:, 0]]
-        return xy, target
-
-    @jax.jit
-    def bench_step(state, key):
-        xy, target = sample_batch(key)
+        target = img[ij[:, 1], ij[:, 0]]
         return trainer._step_impl(state, xy, target, None)
 
     state = trainer.state
     keys = jax.random.split(jax.random.PRNGKey(0), args.warmup + args.steps)
 
     for i in range(args.warmup):
-        state, loss = bench_step(state, keys[i])
-    jax.block_until_ready(loss)
+        state, loss = bench_step(state, keys[i], image_dev)
+    _ = float(loss)  # full sync; block_until_ready is lazy over the tunnel
 
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, loss = bench_step(state, keys[args.warmup + i])
-    jax.block_until_ready(loss)
+        state, loss = bench_step(state, keys[args.warmup + i], image_dev)
+    _ = float(loss)
     elapsed = time.perf_counter() - t0
 
     final_loss = float(loss)

@@ -98,23 +98,22 @@ def main():
     image_dev = jnp.asarray(image)
 
     @jax.jit
-    def step(state, key):
+    def step(state, key, img):
         xy = jax.random.uniform(key, (batch, 2), jnp.float32)
         ij_y = jnp.clip((xy[:, 1] * h).astype(jnp.int32), 0, h - 1)
         ij_x = jnp.clip((xy[:, 0] * w).astype(jnp.int32), 0, w - 1)
-        target = image_dev[ij_y, ij_x]
+        target = img[ij_y, ij_x]
         return trainer._step_impl(state, xy, target, None)
 
     keys = jax.random.split(jax.random.PRNGKey(42), n_steps)
     state = trainer.state
     t0 = time.perf_counter()
-    interval = 10
     for i in range(n_steps):
-        state, loss = step(state, keys[i])
+        state, loss = step(state, keys[i], image_dev)
         if i % 100 == 0 or i == n_steps - 1:
-            jax.block_until_ready(loss)
+            loss = float(loss)
             elapsed = time.perf_counter() - t0
-            print(f"step {i:5d}  loss {float(loss):.3e}  "
+            print(f"step {i:5d}  loss {loss:.3e}  "
                   f"[{elapsed:.2f}s, {batch*(i+1)/max(elapsed,1e-9):.3g} samples/s]")
     trainer.state = state
 

@@ -149,6 +149,52 @@ def lcm_list(values: Iterable[int]) -> int:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Morton codes (reference: common_device.h:934-974) — host/app-side helpers
+# for spatially coherent sample ordering.
+# ---------------------------------------------------------------------------
+
+
+def _expand_bits_2d(w):
+    w = w & np.uint64(0xFFFFFFFF)
+    w = (w | (w << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    w = (w | (w << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    w = (w | (w << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    w = (w | (w << np.uint64(2))) & np.uint64(0x3333333333333333)
+    w = (w | (w << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return w
+
+
+def _expand_bits_3d(w):
+    w = w & np.uint64(0x1FFFFF)
+    w = (w | (w << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    w = (w | (w << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    w = (w | (w << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    w = (w | (w << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    w = (w | (w << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return w
+
+
+def morton2d(x, y):
+    """Interleave bits of (x, y) uint arrays into 2D Morton codes."""
+    x = np.asarray(x, np.uint64)
+    y = np.asarray(y, np.uint64)
+    return _expand_bits_2d(x) | (_expand_bits_2d(y) << np.uint64(1))
+
+
+def morton3d(x, y, z):
+    """Interleave bits of (x, y, z) uint arrays into 3D Morton codes
+    (64-bit, up to 21 bits per axis)."""
+    x = np.asarray(x, np.uint64)
+    y = np.asarray(y, np.uint64)
+    z = np.asarray(z, np.uint64)
+    return (
+        _expand_bits_3d(x)
+        | (_expand_bits_3d(y) << np.uint64(1))
+        | (_expand_bits_3d(z) << np.uint64(2))
+    )
+
+
 class CIDict(dict):
     """Case-insensitive string-keyed dict (reference: common_host.h:316-320).
 

@@ -2,7 +2,7 @@
 
 The reference ships torch ``nn.Module`` bindings (bindings/torch); the JAX
 ecosystem's analogue is a Flax module. These wrap the same pure functions —
-the flat parameter vector becomes a single Flax param named ``"params"``,
+the flat parameter vector becomes a single Flax param named ``"tcnn_params"``,
 so tcnn checkpoints remain interchangeable.
 """
 
@@ -55,7 +55,7 @@ if nn is not None:
                 return jnp.asarray(model.initialize_params(make_rng(seed)))
 
             self.params_vector = self.param(
-                "params", init_fn, (self._model.n_params,)
+                "tcnn_params", init_fn, (self._model.n_params,)
             )
 
         def __call__(self, x):
@@ -81,7 +81,7 @@ if nn is not None:
 
             if enc.n_params > 0:
                 self.params_vector = self.param(
-                    "params", init_fn, (enc.n_params,)
+                    "tcnn_params", init_fn, (enc.n_params,)
                 )
             else:
                 self.params_vector = None

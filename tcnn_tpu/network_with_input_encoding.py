@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,6 +97,14 @@ class NetworkWithInputEncoding:
 
     def __call__(self, params, x):
         return self.apply(params, x)
+
+    def input_gradient(self, params, x, output_index: int):
+        """d output[:, output_index] / d x — the reference computes this by
+        backpropagating a one-hot dL_dy (object.h:592-616); here it is a
+        direct jax.vjp."""
+        out, vjp = jax.vjp(lambda xx: self.apply(params, xx), x)
+        onehot = jnp.zeros_like(out).at[:, output_index].set(1.0)
+        return vjp(onehot)[0]
 
     # -- config surface --------------------------------------------------------
     def update_hyperparams(self, params):

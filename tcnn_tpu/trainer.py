@@ -49,9 +49,8 @@ class Trainer:
             if loss_scale is not None
             else default_loss_scale(model.compute_dtype)
         )
+        # Optional logistic output perturbation (reference: trainer.h:114-123).
         self.perturbation_sigma = perturbation_sigma
-        if perturbation_sigma is not None:
-            log_warning("output perturbation is not implemented yet; ignoring")
 
         self.optimizer.allocate(model.n_params, model.layer_sizes())
         self.state: Dict[str, Any] = {}
@@ -72,6 +71,8 @@ class Trainer:
             "params": jnp.asarray(params, jnp.float32),
             "opt": self.optimizer.init_state(),
         }
+        if self.perturbation_sigma is not None:
+            self.state["rng"] = jax.random.PRNGKey(seed)
 
     @property
     def params(self) -> jnp.ndarray:
@@ -96,13 +97,19 @@ class Trainer:
         return cw
 
     # -- pure step -----------------------------------------------------------
-    def _forward_backward(self, params, inputs, targets, data_pdf):
+    def _forward_backward(self, params, inputs, targets, data_pdf, noise=None):
         def fwd(p):
             return self.model.apply(p, inputs)
 
         output, vjp = jax.vjp(fwd, params)
+        if noise is not None:
+            # Additive output perturbation: the loss sees output+noise; its
+            # gradient w.r.t. the unperturbed output is unchanged.
+            loss_input = (output.astype(jnp.float32) + noise).astype(output.dtype)
+        else:
+            loss_input = output
         values, dL_dy = self.loss.evaluate(
-            self.loss_scale, output, targets, data_pdf
+            self.loss_scale, loss_input, targets, data_pdf
         )
         grads = vjp(dL_dy)[0]
         return jnp.sum(values), grads
@@ -114,15 +121,56 @@ class Trainer:
         return self._step_impl(state, inputs, targets, data_pdf)
 
     def _step_impl(self, state, inputs, targets, data_pdf):
+        new_rng = None
+        noise = None
+        if self.perturbation_sigma is not None:
+            # Logistic output-perturbation noise added to the network output
+            # before the loss (reference: trainer.h:114-123), deterministic
+            # under jit via the carried key.
+            rng, new_rng = jax.random.split(state["rng"])
+            padded = self.model.padded_output_width
+            u = jax.random.uniform(
+                rng, (inputs.shape[0], padded), jnp.float32, 1e-9, 1.0 - 1e-9
+            )
+            noise = self.perturbation_sigma * 0.551328895421792050 * jnp.log(
+                u / (1.0 - u)
+            )
         loss_value, grads = self._forward_backward(
-            state["params"], inputs, targets, data_pdf
+            state["params"], inputs, targets, data_pdf, noise
         )
         opt_state, new_params = self.optimizer.step(
             state["opt"], state["params"], grads, self.loss_scale
         )
-        return {"params": new_params, "opt": opt_state}, loss_value
+        new_state = {"params": new_params, "opt": opt_state}
+        if new_rng is not None:
+            new_state["rng"] = new_rng
+        return new_state, loss_value
+
+    def _step_external_impl(self, state, inputs, dL_doutput):
+        """Training step with caller-provided output gradients, skipping the
+        loss (reference: trainer.h:127-138 external_dL_dy path). dL_doutput
+        must already include the loss scale."""
+
+        def fwd(p):
+            return self.model.apply(p, inputs)
+
+        _, vjp = jax.vjp(fwd, state["params"])
+        grads = vjp(dL_doutput.astype(self.model.compute_dtype))[0]
+        opt_state, new_params = self.optimizer.step(
+            state["opt"], state["params"], grads, self.loss_scale
+        )
+        return {"params": new_params, "opt": opt_state}
 
     # -- public API ------------------------------------------------------------
+    def training_step_with_gradients(self, inputs, dL_doutput):
+        """Apply one optimizer step from external output gradients
+        (shape (batch, padded_output_width), pre-scaled by loss_scale)."""
+        if not hasattr(self, "_jit_ext_step"):
+            self._jit_ext_step = jax.jit(
+                self._step_external_impl, donate_argnums=(0,)
+            )
+        self.state = self._jit_ext_step(self.state, inputs, dL_doutput)
+
     def training_step(self, inputs, targets, data_pdf=None) -> jnp.ndarray:
         """One training iteration; returns the scalar loss (lazy device
         value — call ``float()`` on it to synchronize)."""

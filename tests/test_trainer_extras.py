@@ -1,0 +1,105 @@
+"""Trainer extras: external gradients, perturbation, input gradients,
+EMA inference params, loss-scale invariance."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import tcnn_tpu as tc
+from tcnn_tpu.trainer import Trainer
+
+CFG = {
+    "loss": {"otype": "L2"},
+    "optimizer": {"otype": "SGD", "learning_rate": 0.1, "l2_reg": 0.0},
+    "encoding": {"otype": "Identity"},
+    "network": {"otype": "CutlassMLP", "n_neurons": 16, "n_hidden_layers": 1},
+}
+
+
+def test_external_gradient_step_matches_loss_step():
+    m1 = tc.create_from_config(2, 2, CFG, seed=5)
+    m2 = tc.create_from_config(2, 2, CFG, seed=5)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.uniform(0, 1, (128, 2)).astype(np.float32))
+    t = jnp.asarray(r.uniform(0, 1, (128, 2)).astype(np.float32))
+
+    # Path A: normal loss-driven step.
+    m1.training_step(x, t)
+
+    # Path B: compute the same dL_dy externally, feed it directly.
+    out = m2.trainer.forward(x)
+    _, dl_dy = m2.loss.evaluate(m2.trainer.loss_scale, out, t)
+    m2.trainer.training_step_with_gradients(x, dl_dy)
+
+    np.testing.assert_allclose(
+        np.asarray(m1.trainer.params), np.asarray(m2.trainer.params),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_output_perturbation():
+    model = tc.create_from_config(2, 2, CFG, seed=1)
+    t_plain = Trainer(model.model, tc.create_optimizer(CFG["optimizer"]),
+                      tc.create_loss(CFG["loss"]), seed=1)
+    t_pert = Trainer(model.model, tc.create_optimizer(CFG["optimizer"]),
+                     tc.create_loss(CFG["loss"]), seed=1,
+                     perturbation_sigma=0.1)
+    assert "rng" in t_pert.state and "rng" not in t_plain.state
+
+    r = np.random.default_rng(2)
+    x = jnp.asarray(r.uniform(0, 1, (256, 2)).astype(np.float32))
+    t = jnp.asarray(r.uniform(0, 1, (256, 2)).astype(np.float32))
+    l1 = float(t_plain.training_step(x, t))
+    l2 = float(t_pert.training_step(x, t))
+    # Perturbed loss differs but both step and stay finite; the rng advances.
+    assert np.isfinite(l1) and np.isfinite(l2) and l1 != l2
+    l3 = float(t_pert.training_step(x, t))
+    assert np.isfinite(l3)
+
+
+def test_input_gradient_helper():
+    model = tc.create_from_config(2, 2, CFG, seed=3)
+    x = jnp.asarray(np.random.default_rng(4).uniform(0, 1, (8, 2)),
+                    jnp.float32)
+    g = model.model.input_gradient(model.trainer.params, x, output_index=0)
+    assert g.shape == x.shape
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_loss_scale_invariance():
+    """The loss scale must cancel: params after N steps are (nearly)
+    independent of it (grads accumulate fp32 here, so exactly so)."""
+    cfgs = []
+    for scale in (1.0, 128.0):
+        m = tc.create_from_config(2, 2, CFG, seed=9)
+        m.trainer.loss_scale = scale
+        m.trainer._jit_train_step = None  # force re-jit with new scale
+        import jax
+
+        m.trainer._jit_train_step = jax.jit(
+            m.trainer._train_step, donate_argnums=(0,)
+        )
+        r = np.random.default_rng(1)
+        for _ in range(5):
+            x = jnp.asarray(r.uniform(0, 1, (64, 2)).astype(np.float32))
+            t = jnp.asarray(r.uniform(0, 1, (64, 2)).astype(np.float32))
+            m.training_step(x, t)
+        cfgs.append(np.asarray(m.trainer.params))
+    np.testing.assert_allclose(cfgs[0], cfgs[1], rtol=1e-4, atol=1e-6)
+
+
+def test_ema_inference_params_used():
+    cfg = dict(CFG)
+    cfg["optimizer"] = {"otype": "EMA", "decay": 0.5,
+                        "nested": {"otype": "SGD", "learning_rate": 0.1,
+                                   "l2_reg": 0.0}}
+    m = tc.create_from_config(2, 2, cfg, seed=11)
+    r = np.random.default_rng(3)
+    for _ in range(3):
+        x = jnp.asarray(r.uniform(0, 1, (64, 2)).astype(np.float32))
+        t = jnp.asarray(r.uniform(0, 1, (64, 2)).astype(np.float32))
+        m.training_step(x, t)
+    infer_params = m.trainer.inference_params()
+    assert infer_params.shape == m.trainer.params.shape
+    # EMA params differ from the live training params.
+    assert np.abs(np.asarray(infer_params)
+                  - np.asarray(m.trainer.params)).max() > 0
