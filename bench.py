@@ -34,6 +34,12 @@ def main():
     parser.add_argument("--width", type=int, default=64)
     parser.add_argument("--hidden", type=int, default=2)
     parser.add_argument("--log2-hashmap", type=int, default=19)
+    parser.add_argument(
+        "--sort-batch",
+        action="store_true",
+        help="Morton-sort each batch before the step (same training "
+        "semantics — a batch is a set; improves hash-lookup locality)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -94,8 +100,26 @@ def main():
     @jax.jit
     def bench_step(state, key, img):
         xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)
+        if args.sort_batch:
+            # Morton-order the batch (a batch is a set — the loss and the
+            # resulting update are permutation-invariant) so the grid
+            # lookups of nearby samples hit nearby table rows.
+            q = (xy * 1024).astype(jnp.uint32)
+            key_bits = jnp.zeros(xy.shape[0], jnp.uint32)
+            for b in range(10):
+                key_bits = (
+                    key_bits
+                    | (((q[:, 0] >> b) & 1) << (2 * b))
+                    | (((q[:, 1] >> b) & 1) << (2 * b + 1))
+                )
+            xy = xy[jnp.argsort(key_bits)]
         ij = jnp.clip((xy * res).astype(jnp.int32), 0, res - 1)
-        target = img[ij[:, 1], ij[:, 0]]
+        # Flat promise_in_bounds lookup: default-mode 2D indexing takes
+        # XLA's bounds-checked gather path (~1000x slower on TPU).
+        flat = ij[:, 1] * res + ij[:, 0]
+        target = img.reshape(res * res, 3).at[flat].get(
+            mode="promise_in_bounds"
+        )
         return trainer._step_impl(state, xy, target, None)
 
     state = trainer.state

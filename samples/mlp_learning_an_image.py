@@ -102,7 +102,11 @@ def main():
         xy = jax.random.uniform(key, (batch, 2), jnp.float32)
         ij_y = jnp.clip((xy[:, 1] * h).astype(jnp.int32), 0, h - 1)
         ij_x = jnp.clip((xy[:, 0] * w).astype(jnp.int32), 0, w - 1)
-        target = img[ij_y, ij_x]
+        # Flat promise_in_bounds lookup (default-mode 2D indexing hits
+        # XLA's slow bounds-checked gather path on TPU).
+        target = img.reshape(h * w, 3).at[ij_y * w + ij_x].get(
+            mode="promise_in_bounds"
+        )
         return trainer._step_impl(state, xy, target, None)
 
     keys = jax.random.split(jax.random.PRNGKey(42), n_steps)
