@@ -39,13 +39,21 @@ class GridType(str, enum.Enum):
 
 
 class HashType(str, enum.Enum):
-    """Spatial hash families (reference: common.h:152-158)."""
+    """Spatial hash families (reference: common.h:152-158).
+
+    ``CoherentAdditive`` is a tcnn_tpu extension: ``idx = sum_d pos_d * f_d``
+    (uint32 wrap) with ``f_0 = 1`` — like CoherentPrime but with + instead
+    of XOR, which makes *all* cell corners reachable by static index
+    offsets and unlocks the quad-row gather (one random access per cell
+    instead of 2^d; see PLAN.md).
+    """
 
     Prime = "Prime"
     CoherentPrime = "CoherentPrime"
     ReversedPrime = "ReversedPrime"
     Rng = "Rng"
     BaseConvert = "BaseConvert"
+    CoherentAdditive = "CoherentAdditive"
 
 
 class InterpolationType(str, enum.Enum):

@@ -72,7 +72,7 @@ def grid_resolution(scale: float) -> int:
 def _hash_factors(hash_type: HashType, n_dims: int):
     if hash_type == HashType.Prime:
         return _PRIME_FACTORS[:n_dims]
-    if hash_type == HashType.CoherentPrime:
+    if hash_type in (HashType.CoherentPrime, HashType.CoherentAdditive):
         return _COHERENT_PRIME_FACTORS[:n_dims]
     if hash_type == HashType.ReversedPrime:
         return _REVERSED_PRIME_FACTORS[:n_dims]
@@ -93,8 +93,12 @@ def _grid_hash(pos_grid_u32: jnp.ndarray, hash_type: HashType) -> jnp.ndarray:
         return k
     factors = _hash_factors(hash_type, d)
     result = jnp.zeros(pos_grid_u32.shape[:-1], jnp.uint32)
-    for i in range(d):
-        result = result ^ (pos_grid_u32[..., i] * jnp.uint32(factors[i]))
+    if hash_type == HashType.CoherentAdditive:
+        for i in range(d):
+            result = result + pos_grid_u32[..., i] * jnp.uint32(factors[i])
+    else:
+        for i in range(d):
+            result = result ^ (pos_grid_u32[..., i] * jnp.uint32(factors[i]))
     return result
 
 
@@ -228,6 +232,22 @@ class GridEncoding(Encoding):
             np.int64,
         )
 
+        # Per-level static per-dim index strides for the quad-row gather
+        # (PLAN.md): available when corner indices are affine in the corner
+        # bits — dense/tiled raster indexing, or the additive hash. None
+        # where unsupported (XOR hashes).
+        self._corner_strides: List[Optional[List[int]]] = []
+        for lvl in range(self.n_levels):
+            res = int(self.resolutions[lvl])
+            if not self._use_hash[lvl]:
+                self._corner_strides.append([res**k for k in range(d)])
+            elif hash_type == HashType.CoherentAdditive:
+                self._corner_strides.append(
+                    [int(f) for f in _hash_factors(hash_type, d)]
+                )
+            else:
+                self._corner_strides.append(None)
+
     # -- parameters ----------------------------------------------------------
     @property
     def n_params(self) -> int:
@@ -301,16 +321,37 @@ class GridEncoding(Encoding):
                     axis=-1,
                 )  # (B, C)
 
-            if self._use_hash[lvl]:
+            quad_level = (
+                self.gather_strategy == "quad"
+                and self.interpolation_type == InterpolationType.Linear
+                and self._corner_strides[lvl] is not None
+            )
+            if quad_level:
+                # Base-corner index only; the other 2^d-1 corners are
+                # reached by static offsets via the quad table (PLAN.md).
+                base = jnp.zeros((batch,), jnp.uint32)
+                pg = pos_grid.astype(jnp.uint32)
+                for dim, stride in enumerate(self._corner_strides[lvl]):
+                    base = base + pg[:, dim] * jnp.uint32(stride & 0xFFFFFFFF)
+                idx_levels.append(
+                    (base % jnp.uint32(level_size)).astype(jnp.int32)
+                )
+            elif self._use_hash[lvl]:
                 idx = _grid_hash(corner, self.hash_type)
+                idx = idx % jnp.uint32(level_size)
+                idx_levels.append(
+                    idx.astype(jnp.int32) + jnp.int32(level_offset)
+                )
             else:
                 stride = 1
                 idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
                 for dim in range(d):
                     idx = idx + corner[..., dim] * jnp.uint32(stride)
                     stride *= res
-            idx = idx % jnp.uint32(level_size)
-            idx_levels.append(idx.astype(jnp.int32) + jnp.int32(level_offset))
+                idx = idx % jnp.uint32(level_size)
+                idx_levels.append(
+                    idx.astype(jnp.int32) + jnp.int32(level_offset)
+                )
             w_levels.append(weights)
 
         if self.gather_strategy == "fused":
@@ -331,7 +372,32 @@ class GridEncoding(Encoding):
             # in the full training step than the materialized fused gather.
             outs = []
             for lvl in range(L):
-                feats = table[idx_levels[lvl]]  # (B, C, F)
+                idx = idx_levels[lvl]
+                if idx.ndim == 1:
+                    # Quad-row path: ONE random access per cell. Build the
+                    # per-level (size, C*F) table whose row i holds the
+                    # features of all 2^d corners of the cell whose base
+                    # vertex index is i (static rolls; their VJP turns the
+                    # backward into one scatter row + cheap rolls).
+                    size = int(
+                        self.offset_table[lvl + 1] - self.offset_table[lvl]
+                    )
+                    off = int(self.offset_table[lvl])
+                    sl = table[off : off + size]
+                    strides = self._corner_strides[lvl]
+                    cols = []
+                    for cbits in self._corners:
+                        delta = 0
+                        for dim, bit in enumerate(cbits):
+                            delta += int(bit) * strides[dim]
+                        delta %= size
+                        cols.append(
+                            jnp.roll(sl, -delta, axis=0) if delta else sl
+                        )
+                    quad = jnp.concatenate(cols, axis=1)  # (size, C*F)
+                    feats = quad[idx].reshape(batch, n_corners, F)
+                else:
+                    feats = table[idx]  # (B, C, F)
                 outs.append(
                     jnp.sum(feats * w_levels[lvl][..., None], axis=1)
                 )
@@ -398,7 +464,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     else:
         default_scale = 2.0
 
-    return GridEncoding(
+    enc = GridEncoding(
         n_dims_to_encode=n_dims_to_encode,
         n_features=n_features,
         log2_hashmap_size=log2_hashmap_size,
@@ -415,3 +481,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         n_features_per_level=n_features_per_level,
         fixed_point_pos=json_value(encoding, "fixed_point_pos", False),
     )
+    # tcnn_tpu extension: TPU gather strategy ("per_level" | "fused" |
+    # "quad"); see PLAN.md.
+    enc.gather_strategy = json_value(encoding, "gather_strategy", "per_level")
+    return enc
