@@ -66,6 +66,11 @@ def main():
             "log2_hashmap_size": args.log2_hashmap,
             "base_resolution": 16,
             "per_level_scale": 2.0,
+            # TPU-native fast path: additive coherent hash + quad-row
+            # gathers (5x faster step than the XOR-hash default; exactly
+            # the same encoding family — see PLAN.md).
+            "hash": "CoherentAdditive",
+            "gather_strategy": "quad",
         },
         "network": {
             "otype": "FullyFusedMLP",

@@ -1,4 +1,4 @@
-"""Measure the quad-row gather strategy on the flagship workload."""
+"""Quad-strategy variant sweep (fast: quad graphs compile in ~10-30 s)."""
 
 import sys
 import time
@@ -16,50 +16,56 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import tcnn_tpu as tc
+from __graft_entry__ import FLAGSHIP_CONFIG
 
-CONFIG = {
-    "loss": {"otype": "RelativeL2"},
-    "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
-    "encoding": {
-        "otype": "HashGrid",
-        "n_levels": 16,
-        "n_features_per_level": 2,
-        "log2_hashmap_size": 19,
-        "base_resolution": 16,
-        "per_level_scale": 2.0,
-        "hash": "CoherentAdditive",
-        "gather_strategy": "quad",
-    },
-    "network": {
-        "otype": "FullyFusedMLP",
-        "activation": "ReLU",
-        "output_activation": "None",
-        "n_neurons": 64,
-        "n_hidden_layers": 2,
-    },
-}
-
-model = tc.create_from_config(2, 3, CONFIG)
+model = tc.create_from_config(2, 3, FLAGSHIP_CONFIG)
 trainer = model.trainer
+enc = model.model.encoding
+n_net = model.model.network.n_params
 
 r = np.random.default_rng(0)
 batch = 2**18
 xy = jnp.asarray(r.uniform(0, 1, (batch, 2)).astype(np.float32))
 tgt = jnp.asarray(r.uniform(0, 1, (batch, 3)).astype(np.float32))
 
-step = jax.jit(trainer._train_step)
-t0 = time.time()
-c = step.lower(trainer.state, xy, tgt).compile()
-print("quad step compile", round(time.time() - t0, 1), flush=True)
 
-st = trainer.state
-st, loss = c(st, xy, tgt)
-_ = float(loss)
-t0 = time.time()
-n = 20
-for _ in range(n):
-    st, loss = c(st, xy, tgt)
-v = float(loss)
-dt = (time.time() - t0) / n
-print(f"quad train step: {dt*1e3:.2f} ms -> {batch/dt:.4g} samples/s "
-      f"(loss {v:.3e})", flush=True)
+def run(name, fn, *args, reps=20):
+    t0 = time.time()
+    c = jax.jit(fn).lower(*args).compile()
+    tc_ = time.time() - t0
+    out = c(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    t0 = time.time()
+    for _i in range(reps):
+        out = c(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    print(f"{name}: compile {tc_:.0f}s, {(time.time()-t0)/reps*1e3:.1f} ms",
+          flush=True)
+
+
+run("quad full step", trainer._train_step, trainer.state, xy, tgt)
+
+
+def fwd_loss(state, inputs, targets):
+    out = model.model.apply(state["params"], inputs)
+    values, _ = model.loss.evaluate(trainer.loss_scale, out, targets)
+    return jnp.sum(values)
+
+
+run("quad fwd+loss", fwd_loss, trainer.state, xy, tgt)
+
+
+def enc_bwd(params, inputs):
+    p_enc = params[n_net:]
+    g = jax.grad(
+        lambda pe: (enc.apply(pe, inputs).astype(jnp.float32) ** 2).sum()
+    )(p_enc)
+    return g.sum()
+
+
+run("quad enc-only backward", enc_bwd, trainer.state["params"], xy)
+
+enc.index_mode = "promise_in_bounds"
+run("quad step promise-mode", trainer._train_step, trainer.state, xy, tgt)
+run("quad enc-bwd promise-mode", enc_bwd, trainer.state["params"], xy)
+enc.index_mode = None

@@ -159,10 +159,13 @@ class GridEncoding(Encoding):
         self.interpolation_type = interpolation_type
         self.grid_type = grid_type
         self.hash_type = hash_type
-        # TPU gather strategy: "per_level" (default; loop fusion) or
-        # "fused" (single materialized gather). Empirical on v5e — see
-        # PLAN.md perf notes.
+        # TPU gather strategy: "per_level" (default; loop fusion), "quad"
+        # (one row per cell; needs additive/dense indices), or "fused"
+        # (single materialized gather). Empirical on v5e — see PLAN.md.
         self.gather_strategy = "per_level"
+        # Optional explicit XLA index mode for the quad gather (e.g.
+        # "promise_in_bounds"); None = plain indexing (loop fusion).
+        self.index_mode = None
 
         if hash_type == HashType.Rng:
             raise NotImplementedError(
@@ -395,7 +398,11 @@ class GridEncoding(Encoding):
                             jnp.roll(sl, -delta, axis=0) if delta else sl
                         )
                     quad = jnp.concatenate(cols, axis=1)  # (size, C*F)
-                    feats = quad[idx].reshape(batch, n_corners, F)
+                    if self.index_mode is None:
+                        feats = quad[idx]
+                    else:
+                        feats = quad.at[idx].get(mode=self.index_mode)
+                    feats = feats.reshape(batch, n_corners, F)
                 else:
                     feats = table[idx]  # (B, C, F)
                 outs.append(
