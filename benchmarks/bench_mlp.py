@@ -50,12 +50,16 @@ def bench_one(width: int, batch: int, iters: int, method: str, train: bool):
     else:
         fn = jax.jit(net.apply)
 
+    def sync(o):
+        # Scalar fetch: block_until_ready is unreliable over the axon tunnel.
+        return float(jnp.asarray(o).ravel()[0])
+
     out = fn(params, x)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(params, x)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -33,9 +33,10 @@ from ..common import Activation
 from ..networks.activations import activation_fn
 from .pallas_utils import cdiv, interpret_mode
 
-# Batch rows processed per grid step. 512 rows x 128 lanes of bf16 keeps the
-# MXU busy while all weights + two activation buffers stay far under VMEM.
-DEFAULT_TILE_B = 512
+# Batch rows processed per grid step. Large tiles amortize per-grid-step
+# overhead (measured on v5e: 4096 -> 313 M elem/s vs 512 -> 251 M at width
+# 64); all weights + activation buffers still stay far under VMEM.
+DEFAULT_TILE_B = 4096
 
 
 def _mlp_kernel(x_ref, *refs, activation: Activation, output_activation: Activation,
