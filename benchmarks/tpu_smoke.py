@@ -1,0 +1,129 @@
+"""Broad on-device smoke matrix: every component family runs a few real
+training steps on the TPU at small scale. Catches Mosaic/XLA lowering
+issues that CPU tests can't."""
+
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import tcnn_tpu as tc
+
+CASES = {
+    "hashgrid_quad_adam": {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam"},
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "log2_hashmap_size": 12, "base_resolution": 8,
+                     "hash": "CoherentAdditive", "gather_strategy": "quad"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
+    "oneblob_sgd": {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "SGD", "learning_rate": 1e-2},
+        "encoding": {"otype": "OneBlob", "n_bins": 16},
+        "network": {"otype": "CutlassMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
+    "frequency_novograd": {
+        "loss": {"otype": "L1"},
+        "optimizer": {"otype": "Novograd"},
+        "encoding": {"otype": "Frequency", "n_frequencies": 8},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 32,
+                    "n_hidden_layers": 1},
+    },
+    "identity_shampoo": {
+        "loss": {"otype": "SMAPE"},
+        "optimizer": {"otype": "Shampoo", "learning_rate": 5e-3},
+        "encoding": {"otype": "Identity"},
+        "network": {"otype": "CutlassMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    },
+    "nrc_ema_adam": {
+        "loss": {"otype": "RelativeL2Luminance"},
+        "optimizer": {"otype": "EMA", "decay": 0.95,
+                      "nested": {"otype": "Adam"}},
+        "encoding": {"otype": "NRC"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
+    "sh_lookahead": {
+        "loss": {"otype": "Mape"},
+        "optimizer": {"otype": "Lookahead",
+                      "nested": {"otype": "Adam"}},
+        "encoding": {"otype": "SphericalHarmonics", "degree": 4},
+        "network": {"otype": "CutlassMLP", "n_neurons": 32,
+                    "n_hidden_layers": 1},
+    },
+    "densegrid_batched": {
+        "loss": {"otype": "RelativeL1"},
+        "optimizer": {"otype": "Batched", "batch_size_multiplier": 2,
+                      "nested": {"otype": "Adam"}},
+        "encoding": {"otype": "DenseGrid", "n_levels": 4,
+                     "base_resolution": 8, "gather_strategy": "quad"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    },
+    "smoothstep_3d_expdecay": {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "ExponentialDecay", "decay_start": 2,
+                      "decay_interval": 2, "decay_base": 0.7,
+                      "nested": {"otype": "Adam"}},
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "log2_hashmap_size": 10, "base_resolution": 4,
+                     "interpolation": "Smoothstep"},
+        "network": {"otype": "CutlassMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
+}
+
+
+def main():
+    n_in_by_case = {"sh_lookahead": 3, "smoothstep_3d_expdecay": 3,
+                    "nrc_ema_adam": 9}
+    failures = []
+    for name, cfg in CASES.items():
+        n_in = n_in_by_case.get(name, 2)
+        try:
+            t0 = time.time()
+            model = tc.create_from_config(n_in, 3, cfg, seed=1)
+            r = np.random.default_rng(0)
+            losses = []
+            for _ in range(8):
+                x = jnp.asarray(r.uniform(0, 1, (2048, n_in)).astype(np.float32))
+                t = jnp.asarray(r.uniform(0, 1, (2048, 3)).astype(np.float32))
+                losses.append(float(model.training_step(x, t)))
+            out = np.asarray(model.inference(x))
+            ok = (
+                np.isfinite(losses).all()
+                and np.isfinite(out).all()
+                and losses[-1] < losses[0] * 1.5
+            )
+            status = "OK " if ok else "BAD"
+            print(f"{status} {name}: loss {losses[0]:.3e} -> {losses[-1]:.3e} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+            if not ok:
+                failures.append(name)
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            failures.append(name)
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all smoke cases passed")
+
+
+if __name__ == "__main__":
+    main()

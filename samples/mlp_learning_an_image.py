@@ -36,6 +36,10 @@ DEFAULT_CONFIG = {
         "log2_hashmap_size": 19,
         "base_resolution": 16,
         "per_level_scale": 2.0,
+        # TPU-native fast path (PLAN.md): 5x faster training than the
+        # XOR-hash default.
+        "hash": "CoherentAdditive",
+        "gather_strategy": "quad",
     },
     "network": {
         "otype": "FullyFusedMLP",
