@@ -45,6 +45,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
     import jax.numpy as jnp
 
     import tcnn_tpu as tc
@@ -66,20 +71,20 @@ def main():
         step = jax.jit(trainer._train_step, donate_argnums=(0,))
         state = trainer.state
         state, loss = step(state, xy, target)
-        jax.block_until_ready(loss)
+        _ = float(loss)  # scalar fetch: block_until_ready lies over the tunnel
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, loss = step(state, xy, target)
-        jax.block_until_ready(loss)
+        _ = float(loss)
         train_tput = batch * args.iters / (time.perf_counter() - t0)
 
         infer = jax.jit(lambda p, x: model.model.apply(p, x))
         out = infer(state["params"], xy)
-        jax.block_until_ready(out)
+        _ = float(out[0, 0].astype(jnp.float32))
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = infer(state["params"], xy)
-        jax.block_until_ready(out)
+        _ = float(out[0, 0].astype(jnp.float32))
         infer_tput = batch * args.iters / (time.perf_counter() - t0)
 
         entry = {
