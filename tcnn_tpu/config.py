@@ -14,7 +14,7 @@ reference instantiates jitted JAX/Pallas implementations here:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 from .losses import Loss, create_loss
 from .network_with_input_encoding import NetworkWithInputEncoding

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import PI, json_value
+from ..common import PI
 from .base import Encoding
 
 

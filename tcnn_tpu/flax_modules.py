@@ -8,7 +8,7 @@ so tcnn checkpoints remain interchangeable.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

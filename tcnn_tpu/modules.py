@@ -23,7 +23,6 @@ import numpy as np
 from .common import BATCH_SIZE_GRANULARITY, as_dtype, next_multiple
 from .encodings import create_encoding
 from .network_with_input_encoding import NetworkWithInputEncoding as _NWIE
-from .networks import create_network
 from .rng import make_rng
 
 

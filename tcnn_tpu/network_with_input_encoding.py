@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import as_dtype, default_network_precision
+from .common import as_dtype
 from .encodings import Encoding, create_encoding
 from .networks import Network, create_network, minimum_alignment
 

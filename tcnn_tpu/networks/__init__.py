@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from ..common import CIDict, json_value, string_to_activation
+from ..common import json_value, string_to_activation
 from ..utils.log import log_warning
 from .base import Network
 from .fully_fused import FFMLP_WIDTHS, FullyFusedMLP

@@ -9,8 +9,6 @@ weights instead of an XLA matmul chain).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..common import Activation
 from ..ops.ffmlp import ffmlp_apply
 from .mlp import MLP

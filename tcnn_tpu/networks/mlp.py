@@ -20,7 +20,7 @@ from typing import List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import Activation, json_value, next_multiple, string_to_activation
+from ..common import Activation, next_multiple
 from .activations import activation_fn
 from .base import Network
 

@@ -22,7 +22,7 @@ XLA matmuls that the compiler schedules in parallel.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

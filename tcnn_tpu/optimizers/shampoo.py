@@ -23,7 +23,7 @@ and scheduled by the compiler, and the Newton iteration is a
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

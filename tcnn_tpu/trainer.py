@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import base64
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ from .common import default_loss_scale
 from .losses import Loss
 from .optimizers import Optimizer
 from .rng import make_rng
-from .utils.log import log_warning
 
 
 class Trainer:

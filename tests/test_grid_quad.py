@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 import tcnn_tpu as tc
-from tcnn_tpu.rng import make_rng
 
 
 def _pair(cfg_extra=None, n_dims=2):

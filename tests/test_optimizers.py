@@ -4,7 +4,6 @@ reference kernels)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import tcnn_tpu as tc
 
