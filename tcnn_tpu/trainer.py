@@ -187,6 +187,27 @@ class Trainer:
         """Training-params forward, padded output (compute dtype)."""
         return self.model.apply(self.state["params"], inputs)
 
+    def evaluate_loss(self, inputs, targets, data_pdf=None):
+        """Per-element loss values matrix + scalar, without stepping
+        (reference exposes the values matrix via Trainer::forward +
+        reduce_sum, trainer.h:97-141, 372-378)."""
+        out = self.forward(inputs)
+        values, _ = self.loss.evaluate(self.loss_scale, out, targets, data_pdf)
+        return values, jnp.sum(values)
+
+    @property
+    def learning_rate(self) -> float:
+        return self.optimizer.learning_rate
+
+    @learning_rate.setter
+    def learning_rate(self, value: float):
+        self.optimizer.learning_rate = value
+        # lr is baked into the traced step; re-jit.
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_train_step_pdf = jax.jit(
+            self._train_step_with_pdf, donate_argnums=(0,)
+        )
+
     def inference(self, inputs) -> jnp.ndarray:
         """Serving path: inference params, trimmed fp32 output
         (reference: object.h:214-271)."""

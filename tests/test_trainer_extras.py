@@ -103,3 +103,25 @@ def test_ema_inference_params_used():
     # EMA params differ from the live training params.
     assert np.abs(np.asarray(infer_params)
                   - np.asarray(m.trainer.params)).max() > 0
+
+
+def test_evaluate_loss_matrix():
+    m = tc.create_from_config(2, 2, CFG, seed=21)
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.uniform(0, 1, (32, 2)).astype(np.float32))
+    t = jnp.asarray(r.uniform(0, 1, (32, 2)).astype(np.float32))
+    values, total = m.trainer.evaluate_loss(x, t)
+    assert values.shape == (32, m.model.padded_output_width)
+    assert abs(float(total) - float(np.asarray(values).sum())) < 1e-6
+    # padding lanes zero
+    assert np.asarray(values)[:, 2:].sum() == 0
+
+
+def test_learning_rate_passthrough():
+    m = tc.create_from_config(2, 2, CFG, seed=22)
+    m.trainer.learning_rate = 0.5
+    assert m.optimizer.learning_rate == 0.5
+    x = jnp.zeros((32, 2), jnp.float32)
+    t = jnp.ones((32, 2), jnp.float32)
+    l1 = float(m.training_step(x, t))
+    assert np.isfinite(l1)
