@@ -107,6 +107,36 @@ def _smoothstep(t):
     return t * t * (3.0 - 2.0 * t)
 
 
+@jax.custom_vjp
+def _stochastic_combine(feats, weights, corner_onehot):
+    """Weighted corner reduction whose table-gradient goes to ONE sampled
+    corner with weight 1 (reference: grid.h:284-299) while the
+    interpolation-weight gradient (the dL/dx path) stays exact.
+
+    feats: (B, C, F); weights, corner_onehot: (B, C).
+    """
+    return jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=1)
+
+
+def _stochastic_combine_fwd(feats, weights, corner_onehot):
+    out = _stochastic_combine(feats, weights, corner_onehot)
+    return out, (feats, corner_onehot)
+
+
+def _stochastic_combine_bwd(res, g):
+    feats, corner_onehot = res
+    # Full gradient to the sampled corner only (weight 1.0).
+    d_feats = (
+        g[:, None, :] * corner_onehot[..., None].astype(g.dtype)
+    ).astype(feats.dtype)
+    # Exact weight gradients so input gradients stay the full dy_dx.
+    d_weights = jnp.sum(g[:, None, :] * feats.astype(g.dtype), axis=-1)
+    return d_feats, d_weights, jnp.zeros_like(corner_onehot)
+
+
+_stochastic_combine.defvjp(_stochastic_combine_fwd, _stochastic_combine_bwd)
+
+
 class GridEncoding(Encoding):
     """Hash/Dense/Tiled multiresolution grid (reference: encodings/grid.h)."""
 
@@ -139,11 +169,6 @@ class GridEncoding(Encoding):
             raise NotImplementedError(
                 "fixed_point_pos is a JIT-codegen-only input mode in the "
                 "reference (grid.h:1134-1692) and is not yet supported"
-            )
-        if stochastic_interpolation:
-            log_warning(
-                "GridEncoding: stochastic_interpolation requested; this build "
-                "uses full d-linear gradients instead (deterministic)."
             )
 
         self.n_features = int(n_features)
@@ -271,7 +296,7 @@ class GridEncoding(Encoding):
         return []
 
     # -- compute ---------------------------------------------------------------
-    def apply(self, params, x, max_level: Optional[float] = None):
+    def apply(self, params, x, max_level: Optional[float] = None, rng=None):
         """Encode positions.
 
         Args:
@@ -280,6 +305,11 @@ class GridEncoding(Encoding):
           max_level: optional coarse-to-fine masking in [0, 1]; levels
             ``l >= max_level * n_levels + 1e-3`` output zeros
             (reference: grid.h:69-92).
+          rng: PRNG key enabling stochastic interpolation when the encoding
+            was built with ``stochastic_interpolation`` — the table gradient
+            of each (sample, level) goes in full to ONE corner sampled per
+            the interpolation weights (reference: grid.h:284-299); input
+            gradients stay exact.
         """
         d = self.n_dims_to_encode
         L = self.n_levels
@@ -297,6 +327,10 @@ class GridEncoding(Encoding):
         # dominant cost of this encoding on TPU.)
         idx_levels = []
         w_levels = []
+        sto_onehots = []
+        stochastic = self.stochastic_interpolation and rng is not None and (
+            self.interpolation_type != InterpolationType.Nearest
+        )
         for lvl in range(L):
             scale = float(self.scales[lvl])
             res = int(self.resolutions[lvl])
@@ -328,6 +362,17 @@ class GridEncoding(Encoding):
                     bits * w[:, None, :] + (1.0 - bits) * (1.0 - w[:, None, :]),
                     axis=-1,
                 )  # (B, C)
+                if stochastic:
+                    # One uniform per (sample, level); per-dim corner bit
+                    # u < w_dim (grid.h:286-297).
+                    u = jax.random.uniform(
+                        jax.random.fold_in(rng, lvl), (batch, 1)
+                    )
+                    sample_bits = (u < w).astype(jnp.int32)  # (B, D)
+                    match = jnp.all(
+                        sample_bits[:, None, :] == corners[None, :, :], axis=-1
+                    )
+                    sto_onehots.append(match.astype(jnp.float32))  # (B, C)
 
             quad_level = (
                 self.gather_strategy == "quad"
@@ -373,7 +418,20 @@ class GridEncoding(Encoding):
                 mode="promise_in_bounds"
             )  # (B, L*C, F)
             feats = feats.reshape(batch, L, n_corners, F)
-            y = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)
+            if stochastic:
+                y = jnp.stack(
+                    [
+                        _stochastic_combine(
+                            feats[:, l], weights[:, l], sto_onehots[l]
+                        )
+                        for l in range(L)
+                    ],
+                    axis=1,
+                )
+            else:
+                y = jnp.sum(
+                    feats * weights[..., None].astype(feats.dtype), axis=2
+                )
         else:
             # Per-level gathers; XLA fuses each into the surrounding
             # interpolation arithmetic (loop fusion), which measures faster
@@ -418,9 +476,16 @@ class GridEncoding(Encoding):
                     feats = feats.reshape(batch, n_corners, F)
                 else:
                     feats = table[idx]  # (B, C, F)
-                outs.append(
-                    jnp.sum(feats * w_levels[lvl][..., None], axis=1)
-                )
+                if stochastic:
+                    outs.append(
+                        _stochastic_combine(
+                            feats, w_levels[lvl], sto_onehots[lvl]
+                        )
+                    )
+                else:
+                    outs.append(
+                        jnp.sum(feats * w_levels[lvl][..., None], axis=1)
+                    )
             y = jnp.stack(outs, axis=1)  # (B, L, F)
 
         if max_level is not None:
