@@ -86,6 +86,25 @@ def _grid_hash(pos_grid_u32: jnp.ndarray, hash_type: HashType) -> jnp.ndarray:
     pos_grid_u32: (..., D) uint32 -> (...) uint32.
     """
     d = pos_grid_u32.shape[-1]
+    if hash_type == HashType.Rng:
+        # step = XOR of coords packed into 64/d-bit fields, then a pcg32
+        # jump-ahead by step (reference: common_device.h:814-827).
+        from ..ops.pcg32_jump import pcg32_jump_output
+
+        n_bits = 64 // d
+        lo = jnp.zeros(pos_grid_u32.shape[:-1], jnp.uint32)
+        hi = jnp.zeros(pos_grid_u32.shape[:-1], jnp.uint32)
+        for i in range(d):
+            v = pos_grid_u32[..., i]
+            shift = i * n_bits
+            if shift == 0:
+                lo = lo ^ v
+            elif shift < 32:
+                lo = lo ^ (v << jnp.uint32(shift))
+                hi = hi ^ (v >> jnp.uint32(32 - shift))
+            else:
+                hi = hi ^ (v << jnp.uint32(shift - 32))
+        return pcg32_jump_output(hi, lo, seed=1337)
     if hash_type == HashType.BaseConvert:
         # k = ((p0)*F + p1)*F + ... (reference: common_device.h:803-812)
         k = jnp.zeros(pos_grid_u32.shape[:-1], jnp.uint32)
@@ -196,12 +215,6 @@ class GridEncoding(Encoding):
         # quad lookup (dense transpose-matmul backward instead of a serial
         # scatter). Measured neutral on v5e at 2048 — off by default.
         self.onehot_threshold = 0
-
-        if hash_type == HashType.Rng:
-            raise NotImplementedError(
-                "HashType::Rng requires per-vertex pcg32 jumps; use Prime/"
-                "CoherentPrime/ReversedPrime/BaseConvert"
-            )
 
         d = self.n_dims_to_encode
         log2_scale = math.log2(self.per_level_scale)

@@ -170,7 +170,8 @@ def test_max_level_masking():
 
 
 def test_hash_types():
-    for hash_type in ("Prime", "CoherentPrime", "ReversedPrime", "BaseConvert"):
+    for hash_type in ("Prime", "CoherentPrime", "ReversedPrime", "BaseConvert",
+                      "Rng", "CoherentAdditive"):
         enc = tc.create_encoding(
             3,
             {"otype": "HashGrid", "n_levels": 4, "log2_hashmap_size": 10,
@@ -191,3 +192,20 @@ def test_n_features_consistency_checks():
         create_grid_encoding(
             2, {"otype": "HashGrid", "n_features": 8, "n_levels": 4}
         )
+
+
+def test_rng_hash_matches_scalar_pcg32():
+    """HashType::Rng = pcg32(1337) jumped by the packed coords
+    (common_device.h:814-827); verify against the scalar host PCG32."""
+    from tcnn_tpu.encodings.grid import _grid_hash
+    from tcnn_tpu.common import HashType
+    from tcnn_tpu.rng import PCG32
+
+    r = np.random.default_rng(0)
+    coords = r.integers(0, 1 << 16, (32, 2), dtype=np.uint32)
+    got = np.asarray(_grid_hash(jnp.asarray(coords), HashType.Rng))
+    for i, (cx, cy) in enumerate(coords):
+        step = int(cx) ^ (int(cy) << 32)
+        p = PCG32(1337)
+        p.advance(step)
+        assert int(got[i]) == int(p.next_uint())
