@@ -184,11 +184,6 @@ class GridEncoding(Encoding):
                 f"GridEncoding: n_features={n_features} must be a multiple of "
                 f"n_features_per_level={n_features_per_level}"
             )
-        if fixed_point_pos:
-            raise NotImplementedError(
-                "fixed_point_pos is a JIT-codegen-only input mode in the "
-                "reference (grid.h:1134-1692) and is not yet supported"
-            )
 
         self.n_features = int(n_features)
         self.n_features_per_level = int(n_features_per_level)
@@ -204,6 +199,9 @@ class GridEncoding(Encoding):
         self.interpolation_type = interpolation_type
         self.grid_type = grid_type
         self.hash_type = hash_type
+        # Positions given as uint32 fixed point spanning [0, 1)
+        # (reference: grid.h:1143-1151, a JIT-codegen input mode there).
+        self.fixed_point_pos = bool(fixed_point_pos)
         # TPU gather strategy: "per_level" (default; loop fusion), "quad"
         # (one row per cell; needs additive/dense indices), or "fused"
         # (single materialized gather). Empirical on v5e — see PLAN.md.
@@ -327,7 +325,14 @@ class GridEncoding(Encoding):
         d = self.n_dims_to_encode
         L = self.n_levels
         F = self.n_features_per_level
-        x = x.astype(jnp.float32)
+        if self.fixed_point_pos:
+            if x.dtype != jnp.uint32:
+                raise TypeError(
+                    "fixed_point_pos expects uint32 inputs spanning [0, 1)"
+                )
+            x_fixed = x
+        else:
+            x = x.astype(jnp.float32)
         batch = x.shape[0]
 
         table = params.reshape(-1, F)
@@ -350,12 +355,27 @@ class GridEncoding(Encoding):
             level_size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
             level_offset = int(self.offset_table[lvl])
 
-            # pos_fract with the 0.5 stagger offset
-            # (reference: common_device.h:1000-1043).
-            pos = x * scale + 0.5
-            pos_floor = jnp.floor(pos)
-            pos_grid = pos_floor.astype(jnp.int32)  # (B, D)
-            t = pos - pos_floor
+            if self.fixed_point_pos:
+                # Fixed-point cell decomposition (reference: grid.h:1143-1151):
+                # uint32 inputs span [0, 1); the +half-cell offset plays the
+                # 0.5-stagger role, wrapping handled in uint32 arithmetic.
+                cell = max(int(0xFFFFFFFF / scale), 1)
+                pos_fixed = x_fixed + jnp.uint32(cell // 2)
+                pg = pos_fixed // jnp.uint32(cell)
+                pg = pg + jnp.where(
+                    pos_fixed < jnp.uint32(cell // 2), jnp.uint32(int(scale)),
+                    jnp.uint32(0),
+                )
+                rem = pos_fixed - pg * jnp.uint32(cell)
+                pos_grid = pg.astype(jnp.int32)
+                t = (scale / float(0xFFFFFFFF)) * rem.astype(jnp.float32)
+            else:
+                # pos_fract with the 0.5 stagger offset
+                # (reference: common_device.h:1000-1043).
+                pos = x * scale + 0.5
+                pos_floor = jnp.floor(pos)
+                pos_grid = pos_floor.astype(jnp.int32)  # (B, D)
+                t = pos - pos_floor
             if self.interpolation_type == InterpolationType.Smoothstep:
                 w = _smoothstep(t)
             else:

@@ -209,3 +209,31 @@ def test_rng_hash_matches_scalar_pcg32():
         p = PCG32(1337)
         p.advance(step)
         assert int(got[i]) == int(p.next_uint())
+
+
+def test_fixed_point_pos_matches_float_path():
+    """uint32 fixed-point inputs (grid.h:1143-1151) approximate the float
+    path: u = round(x * 2^32) must land in the same cell with the same
+    fractional coordinate up to fixed-point quantization."""
+    cfg = {"otype": "HashGrid", "n_levels": 3, "n_features_per_level": 2,
+           "log2_hashmap_size": 12, "base_resolution": 4,
+           "per_level_scale": 2.0}
+    enc_f = tc.create_encoding(2, cfg, 4)
+    enc_u = tc.create_encoding(2, {**cfg, "fixed_point_pos": True}, 4)
+    enc_f.output_dtype = jnp.float32
+    enc_u.output_dtype = jnp.float32
+    assert enc_u.fixed_point_pos
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(enc_f.n_params).astype(np.float32)
+    )
+    xf = np.random.default_rng(1).uniform(0.05, 0.95, (64, 2)).astype(np.float32)
+    xu = (xf.astype(np.float64) * 4294967296.0).astype(np.uint64).astype(np.uint32)
+    yf = np.asarray(enc_f.apply(params, jnp.asarray(xf)))
+    yu = np.asarray(enc_u.apply(params, jnp.asarray(xu)))
+    # Not bit-identical (the fixed-point cell size rounds differently from
+    # the float fma), but must agree closely away from cell boundaries.
+    close = np.abs(yf - yu) < 0.05 * (np.abs(yf) + 0.1)
+    assert close.mean() > 0.95, close.mean()
+
+    with pytest.raises(TypeError):
+        enc_u.apply(params, jnp.asarray(xf))
