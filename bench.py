@@ -33,7 +33,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--width", type=int, default=64)
     parser.add_argument("--hidden", type=int, default=2)
-    parser.add_argument("--log2-hashmap", type=int, default=19)
+    parser.add_argument("--log2-hashmap", type=int, default=15)
+    parser.add_argument("--per-level-scale", type=float, default=1.5)
     parser.add_argument(
         "--sort-batch",
         action="store_true",
@@ -56,16 +57,26 @@ def main():
 
     import tcnn_tpu as tc
 
+    # Exact protocol parity with the reference's flagship benchmark config
+    # (reference: data/config_hash.json — 2^15 table, scale 1.5, Adam
+    # beta2=0.99/eps=1e-15/l2_reg=1e-6).
     config = {
         "loss": {"otype": "RelativeL2"},
-        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "optimizer": {
+            "otype": "Adam",
+            "learning_rate": 1e-2,
+            "beta1": 0.9,
+            "beta2": 0.99,
+            "epsilon": 1e-15,
+            "l2_reg": 1e-6,
+        },
         "encoding": {
             "otype": "HashGrid",
             "n_levels": 16,
             "n_features_per_level": 2,
             "log2_hashmap_size": args.log2_hashmap,
             "base_resolution": 16,
-            "per_level_scale": 2.0,
+            "per_level_scale": args.per_level_scale,
             # TPU-native fast path: additive coherent hash + quad-row
             # gathers (5x faster step than the XOR-hash default; exactly
             # the same encoding family — see PLAN.md).

@@ -27,15 +27,23 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 DEFAULT_CONFIG = {
+    # Mirrors the reference's data/config_hash.json protocol.
     "loss": {"otype": "RelativeL2"},
-    "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+    "optimizer": {
+        "otype": "Adam",
+        "learning_rate": 1e-2,
+        "beta1": 0.9,
+        "beta2": 0.99,
+        "epsilon": 1e-15,
+        "l2_reg": 1e-6,
+    },
     "encoding": {
         "otype": "HashGrid",
         "n_levels": 16,
         "n_features_per_level": 2,
-        "log2_hashmap_size": 19,
+        "log2_hashmap_size": 15,
         "base_resolution": 16,
-        "per_level_scale": 2.0,
+        "per_level_scale": 1.5,
         # TPU-native fast path (PLAN.md): 5x faster training than the
         # XOR-hash default.
         "hash": "CoherentAdditive",

@@ -429,10 +429,15 @@ class GridEncoding(Encoding):
                     idx.astype(jnp.int32) + jnp.int32(level_offset)
                 )
             else:
+                # uint32 wrapping like the reference's index_dense
+                # (common_device.h:855-884): res**dim can exceed 2^32 for
+                # high-dimensional dense/tiled grids.
                 stride = 1
                 idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
                 for dim in range(d):
-                    idx = idx + corner[..., dim] * jnp.uint32(stride)
+                    idx = idx + corner[..., dim] * jnp.uint32(
+                        stride & 0xFFFFFFFF
+                    )
                     stride *= res
                 idx = idx % jnp.uint32(level_size)
                 idx_levels.append(

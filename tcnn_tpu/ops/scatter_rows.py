@@ -1,0 +1,156 @@
+"""Pallas TPU kernels replacing XLA's serialized scatter-add for the grid
+encoding's table-gradient accumulation.
+
+The grid backward reduces B gradient rows (one per sample, width R = 2^d * F
+on the quad path) into a (size, R) table. XLA's TPU scatter emitter
+serializes this at ~30 ns/row (see PLAN.md); these kernels express the same
+reduction as dense MXU work (one-hot matmul) or an on-chip VMEM
+read-modify-write loop, neither of which ever materializes an index-sized
+intermediate in HBM.
+
+Reference analogue: the CUDA backward's atomicAdd accumulation into the grid
+gradient (reference: encodings/grid.h:436-535). TPU has no HBM atomics; a
+matmul against a one-hot matrix computes the identical (deterministic) sum.
+
+Mosaic layout note: index vectors are shipped as (groups, 8, C) so every
+block is (8, C) — sublane*lane aligned. (1, C) blocks violate the
+8-divisibility rule and (C, 1) blocks compile to a sublane-serial layout
+that explodes compile time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_utils import cdiv, interpret_mode
+
+_SUB = 8  # sub-chunks per grid step == sublane count of the idx block
+
+
+def _pad_groups(idx, rows, c_chunk):
+    """Pad batch to a (8 * c_chunk) multiple; returns idx (groups, 8, C)
+    and rows (groups * 8 * C, R)."""
+    B, R = rows.shape
+    group = _SUB * c_chunk
+    padded_b = cdiv(B, group) * group
+    if padded_b != B:
+        # Padding rows are zero, so their (index 0) contribution is 0.
+        idx = jnp.pad(idx, (0, padded_b - B))
+        rows = jnp.pad(rows, ((0, padded_b - B), (0, 0)))
+    return idx.astype(jnp.int32).reshape(-1, _SUB, c_chunk), rows
+
+
+def _onehot_kernel(idx_ref, rows_ref, out_ref, *, s_tile: int, c_chunk: int):
+    # Writes this (s, b) cell's PARTIAL sum to its own output block — no
+    # block revisits (Mosaic compile time degrades badly on accumulate-
+    # across-grid-steps patterns); the caller reduces over the b axis.
+    base = pl.program_id(0) * s_tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, c_chunk), 0)
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for k in range(_SUB):
+        local = idx_ref[0, k, :].reshape(1, c_chunk) - base  # (1, C)
+        onehot = (local == row_ids).astype(jnp.bfloat16)  # (S_TILE, C)
+        acc += jnp.dot(
+            onehot,
+            rows_ref[k * c_chunk : (k + 1) * c_chunk, :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[...] = acc[None]
+
+
+def scatter_rows_onehot(
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    size: int,
+    *,
+    s_tile: int = 512,
+    c_chunk: int = 2048,
+) -> jnp.ndarray:
+    """sum_b onehot(idx[b], size) * rows[b] via MXU matmuls.
+
+    Args:
+      idx: (B,) int32 level-local indices in [0, size).
+      rows: (B, R) gradient rows (any float dtype; accumulated in fp32 from
+        bf16 operands, like the reference's fp16 atomics).
+      size: number of table rows.
+
+    Returns (size, R) float32. Cost is size*B*R MACs — economical only for
+    small `size` (coarse levels); see PLAN.md for the crossover.
+    """
+    R = rows.shape[1]
+    idx3, rows = _pad_groups(idx, rows, c_chunk)
+    padded_b = rows.shape[0]
+    padded_s = cdiv(size, s_tile) * s_tile
+    group = _SUB * c_chunk
+
+    n_b = padded_b // group
+    grid = (padded_s // s_tile, n_b)
+    partials = pl.pallas_call(
+        functools.partial(_onehot_kernel, s_tile=s_tile, c_chunk=c_chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _SUB, c_chunk), lambda s, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, R), lambda s, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_tile, R), lambda s, b: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_b, padded_s, R), jnp.float32),
+        interpret=interpret_mode(),
+    )(idx3, rows)
+    return partials.sum(axis=0)[:size]
+
+
+def _serial_kernel(idx_ref, rows_ref, out_ref, *, c_chunk: int):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for k in range(_SUB):
+        def body(i, _, k=k):
+            s = idx_ref[0, k, i]
+            out_ref[s, :] += rows_ref[k * c_chunk + i, :].astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, c_chunk, body, 0)
+
+
+def scatter_rows_serial(
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    size: int,
+    *,
+    c_chunk: int = 2048,
+) -> jnp.ndarray:
+    """Same reduction via a VMEM-resident accumulator and a serial
+    read-modify-write loop (probe for the per-row RMW floor; the whole
+    (size, R) table must fit VMEM)."""
+    R = rows.shape[1]
+    idx3, rows = _pad_groups(idx, rows, c_chunk)
+    padded_b = rows.shape[0]
+    padded_s = cdiv(size, 8) * 8
+    group = _SUB * c_chunk
+
+    out = pl.pallas_call(
+        functools.partial(_serial_kernel, c_chunk=c_chunk),
+        grid=(padded_b // group,),
+        in_specs=[
+            pl.BlockSpec((1, _SUB, c_chunk), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, R), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((padded_s, R), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded_s, R), jnp.float32),
+        interpret=interpret_mode(),
+    )(idx3, rows)
+    return out[:size]
