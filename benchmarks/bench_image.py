@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 CONFIG_ONEBLOB = {
     "loss": {"otype": "RelativeL2"},
     "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
-    "encoding": {"otype": "OneBlob", "n_bins": 32},
+    # n_bins 64 for exact parity with the reference's config_oneblob.json.
+    "encoding": {"otype": "OneBlob", "n_bins": 64},
     "network": {
         "otype": "FullyFusedMLP",
         "activation": "ReLU",

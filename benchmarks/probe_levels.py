@@ -5,6 +5,7 @@ flagship quad-path config; the difference between consecutive rows is the
 marginal cost of that level's gather+scatter.
 """
 
+import sys
 import time
 
 import jax
@@ -21,6 +22,9 @@ r = np.random.default_rng(0)
 batch = 2**18
 xy = jnp.asarray(r.uniform(0, 1, (batch, 2)).astype(np.float32))
 
+log2_hashmap = int(sys.argv[1]) if len(sys.argv) > 1 else 19
+scale = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+
 prev = 0.0
 for L in range(1, 17):
     enc = tc.create_encoding(
@@ -29,9 +33,9 @@ for L in range(1, 17):
             "otype": "HashGrid",
             "n_levels": L,
             "n_features_per_level": 2,
-            "log2_hashmap_size": 19,
+            "log2_hashmap_size": log2_hashmap,
             "base_resolution": 16,
-            "per_level_scale": 2.0,
+            "per_level_scale": scale,
             "hash": "CoherentAdditive",
             "gather_strategy": "quad",
         },

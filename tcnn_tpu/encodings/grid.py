@@ -250,6 +250,15 @@ class GridEncoding(Encoding):
             offset += params_in_level
         offsets.append(offset)
 
+        if offset > 2**31 - 1:
+            # XLA gathers index with int32; a table beyond int32 rows cannot
+            # be addressed on TPU (the reference's uint32 offsets silently
+            # wrap past 2^32, grid.h:695-737 — an error is strictly better).
+            raise ValueError(
+                f"GridEncoding: total table rows {offset} exceed int32 "
+                "indexing range; reduce n_levels/resolution or use Hash "
+                "type with a log2_hashmap_size cap"
+            )
         self.offset_table = np.asarray(offsets, np.int64)
         self.resolutions = np.asarray(resolutions, np.int64)
         self.scales = np.asarray(scales, np.float64)
@@ -305,6 +314,24 @@ class GridEncoding(Encoding):
         # Grid params are non-matrix params for the optimizer
         # (reference: grid.h:1101-1105).
         return []
+
+    def _quad_table(self, table, lvl: int):
+        """Per-level (size, 2^d * F) cell table: row i holds the features of
+        all 2^d corners of the cell whose base-vertex index is i. Built with
+        static rolls of the vertex table (their VJP turns the backward into
+        one scatter row per cell plus cheap roll adjoints)."""
+        size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+        off = int(self.offset_table[lvl])
+        sl = table[off : off + size]
+        strides = self._corner_strides[lvl]
+        cols = []
+        for cbits in self._corners:
+            delta = 0
+            for dim, bit in enumerate(cbits):
+                delta += int(bit) * strides[dim]
+            delta %= size
+            cols.append(jnp.roll(sl, -delta, axis=0) if delta else sl)
+        return jnp.concatenate(cols, axis=1)
 
     # -- compute ---------------------------------------------------------------
     def apply(self, params, x, max_level: Optional[float] = None, rng=None):
@@ -408,7 +435,7 @@ class GridEncoding(Encoding):
                     sto_onehots.append(match.astype(jnp.float32))  # (B, C)
 
             quad_level = (
-                self.gather_strategy == "quad"
+                self.gather_strategy in ("quad", "quad_fused")
                 and self.interpolation_type == InterpolationType.Linear
                 and self._corner_strides[lvl] is not None
             )
@@ -445,7 +472,46 @@ class GridEncoding(Encoding):
                 )
             w_levels.append(weights)
 
-        if self.gather_strategy == "fused":
+        if self.gather_strategy == "quad_fused" and all(
+            i.ndim == 1 for i in idx_levels
+        ):
+            # ONE gather for the whole encoding: concatenate the per-level
+            # quad tables (each row = all 2^d corner features of one cell)
+            # into a supertable and look up (B, L) rows at once. The VJP is
+            # one scatter-add of B*L rows into the supertable plus the
+            # roll/concat adjoints. Composes best when the supertable is
+            # small (2^15-class configs); per-level loop fusion wins for
+            # 2^19-class tables — measure, don't guess (PLAN.md).
+            quads = []
+            q_offsets = []
+            q_off = 0
+            for lvl in range(L):
+                quads.append(self._quad_table(table, lvl))
+                q_offsets.append(q_off)
+                q_off += quads[-1].shape[0]
+            supertable = jnp.concatenate(quads, axis=0)  # (sum sizes, C*F)
+            gidx = jnp.stack(
+                [idx_levels[lvl] + jnp.int32(q_offsets[lvl]) for lvl in range(L)],
+                axis=1,
+            )  # (B, L)
+            feats = supertable.at[gidx].get(mode="promise_in_bounds")
+            feats = feats.reshape(batch, L, n_corners, F)
+            weights = jnp.stack(w_levels, axis=1)  # (B, L, C)
+            if stochastic:
+                y = jnp.stack(
+                    [
+                        _stochastic_combine(
+                            feats[:, l], weights[:, l], sto_onehots[l]
+                        )
+                        for l in range(L)
+                    ],
+                    axis=1,
+                )
+            else:
+                y = jnp.sum(
+                    feats * weights[..., None].astype(feats.dtype), axis=2
+                )
+        elif self.gather_strategy == "fused":
             # ONE gather across all levels; promise_in_bounds (indices are
             # %-reduced above) — XLA's default bounds-checked gather takes a
             # catastrophically slower path on TPU standalone, and the VJP
@@ -478,27 +544,11 @@ class GridEncoding(Encoding):
             for lvl in range(L):
                 idx = idx_levels[lvl]
                 if idx.ndim == 1:
-                    # Quad-row path: ONE random access per cell. Build the
-                    # per-level (size, C*F) table whose row i holds the
-                    # features of all 2^d corners of the cell whose base
-                    # vertex index is i (static rolls; their VJP turns the
-                    # backward into one scatter row + cheap rolls).
+                    # Quad-row path: ONE random access per cell (PLAN.md).
                     size = int(
                         self.offset_table[lvl + 1] - self.offset_table[lvl]
                     )
-                    off = int(self.offset_table[lvl])
-                    sl = table[off : off + size]
-                    strides = self._corner_strides[lvl]
-                    cols = []
-                    for cbits in self._corners:
-                        delta = 0
-                        for dim, bit in enumerate(cbits):
-                            delta += int(bit) * strides[dim]
-                        delta %= size
-                        cols.append(
-                            jnp.roll(sl, -delta, axis=0) if delta else sl
-                        )
-                    quad = jnp.concatenate(cols, axis=1)  # (size, C*F)
+                    quad = self._quad_table(table, lvl)  # (size, C*F)
                     if size <= self.onehot_threshold:
                         # Tiny level: route the lookup through the MXU as a
                         # one-hot matmul — the VJP becomes a dense transpose

@@ -28,7 +28,7 @@ class FullyFusedMLP(MLP):
         activation: Activation = Activation.ReLU,
         output_activation: Activation = Activation.NONE,
         output_alignment: int = 16,
-        use_pallas: bool = True,
+        use_pallas: bool | None = None,
     ):
         if n_neurons not in FFMLP_WIDTHS:
             raise ValueError(
@@ -47,6 +47,12 @@ class FullyFusedMLP(MLP):
             output_activation=output_activation,
             output_alignment=output_alignment,
         )
+        if use_pallas is None:
+            # Width-aware default (measured, v5e — benchmarks/
+            # bench_result_ours.json): the fused kernel wins at widths
+            # >= 64 (2.3x on training at 128); at 16/32 the MXU runs at
+            # <= 1/16 occupancy and XLA's fused matmul chain is faster.
+            use_pallas = n_neurons >= 64
         self.use_pallas = use_pallas
 
     def apply(self, params, x):

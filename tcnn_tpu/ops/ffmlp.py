@@ -122,6 +122,133 @@ def mlp_forward_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Fused backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _act_vjp(g, z, act: Activation):
+    """dL/dz given dL/da where a = act(z); pure jnp, traceable in-kernel."""
+    if act == Activation.NONE:
+        return g
+    if act == Activation.ReLU:
+        return jnp.where(z > 0, g, 0.0)
+    _, vjp = jax.vjp(lambda t: activation_fn(t, act), z)
+    return vjp(g)[0]
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, *refs, activation: Activation,
+                    output_activation: Activation, n_layers: int, in_dtype):
+    """One batch tile: recompute the forward in VMEM, walk the layers in
+    reverse, emit dx for the tile and per-tile dW partials. Nothing
+    activation-sized ever touches HBM — the TPU analogue of the reference's
+    kernel_mlp_fused_backward (fully_fused_mlp.cu:151-259)."""
+    w_refs = refs[:n_layers]
+    dx_ref = refs[n_layers]
+    dw_refs = refs[n_layers + 1 : 2 * n_layers + 1]
+
+    # Forward recompute, keeping pre-activations (fp32) for the act-vjp.
+    hs = [x_ref[...]]
+    pres = []
+    h = hs[0]
+    for i in range(n_layers):
+        z = jnp.dot(h, w_refs[i][...], preferred_element_type=jnp.float32)
+        pres.append(z)
+        act = output_activation if i == n_layers - 1 else activation
+        if i < n_layers - 1:
+            h = activation_fn(z, act).astype(in_dtype)
+            hs.append(h)
+
+    delta = _act_vjp(g_ref[...].astype(jnp.float32), pres[-1],
+                     output_activation)
+    for i in range(n_layers - 1, -1, -1):
+        d16 = delta.astype(in_dtype)
+        # dW_i = h_i^T @ delta_i — M=N=width, K=tile: MXU-shaped.
+        dw_refs[i][...] = jnp.dot(
+            hs[i].T, d16, preferred_element_type=jnp.float32
+        )[None]
+        dh = jnp.dot(
+            d16, w_refs[i][...].T, preferred_element_type=jnp.float32
+        )
+        if i > 0:
+            delta = _act_vjp(dh, pres[i - 1], activation)
+    dx_ref[...] = dh.astype(in_dtype)
+
+
+def mlp_backward_pallas(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    weights_t: Sequence[jnp.ndarray],
+    activation: Activation,
+    output_activation: Activation,
+    tile_b: int = DEFAULT_TILE_B,
+):
+    """Fused-recompute backward: returns (dx, [dW...]) with dW in the same
+    transposed (in, out) layout as ``weights_t``. HBM traffic is x + g +
+    per-tile dW partials; all activations live and die in VMEM."""
+    batch, in_width = x.shape
+    out_width = weights_t[-1].shape[1]
+    n_layers = len(weights_t)
+    dtype = x.dtype
+
+    tile_b = min(tile_b, max(128, batch))
+    padded_batch = cdiv(batch, tile_b) * tile_b
+    if padded_batch != batch:
+        x = jnp.pad(x, ((0, padded_batch - batch), (0, 0)))
+        g = jnp.pad(g, ((0, padded_batch - batch), (0, 0)))
+    n_tiles = padded_batch // tile_b
+
+    kernel = functools.partial(
+        _mlp_bwd_kernel,
+        activation=activation,
+        output_activation=output_activation,
+        n_layers=n_layers,
+        in_dtype=dtype,
+    )
+    in_specs = [
+        pl.BlockSpec((tile_b, in_width), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, out_width), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for w in weights_t:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    out_specs = [
+        pl.BlockSpec((tile_b, in_width), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((padded_batch, in_width), dtype)]
+    for w in weights_t:
+        out_specs.append(
+            pl.BlockSpec((1,) + w.shape, lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_tiles,) + w.shape, jnp.float32)
+        )
+
+    flops_per_row = 6 * sum(a.shape[0] * a.shape[1] for a in weights_t)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * padded_batch,
+            bytes_accessed=padded_batch * (2 * in_width + out_width) * 2
+            + n_tiles * sum(a.size for a in weights_t) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(x, g, *weights_t)
+    dx = outs[0][:batch]
+    dws = [p.sum(axis=0) for p in outs[1:]]
+    return dx, dws
+
+
+# ---------------------------------------------------------------------------
 # Differentiable wrapper
 # ---------------------------------------------------------------------------
 
@@ -161,45 +288,15 @@ def _act_bwd(g, z, act: Activation):
 
 
 def _ffmlp_bwd(activation, output_activation, residuals, g):
+    # Fused-recompute backward kernel: the XLA layer-by-layer form round-
+    # trips every activation through HBM and runs ~4x slower (PLAN.md).
     x, weights_t = residuals
-    n = len(weights_t)
-    # Recompute hidden activations (inputs to each layer).
-    layer_inputs = [x]
-    h = x
-    for i, w in enumerate(weights_t[:-1]):
-        z = jnp.dot(h, w, preferred_element_type=jnp.float32)
-        h = activation_fn(z, activation).astype(x.dtype)
-        layer_inputs.append(h)
-    pre_out = jnp.dot(
-        layer_inputs[-1], weights_t[-1], preferred_element_type=jnp.float32
+    dx, dws = mlp_backward_pallas(
+        x, g.astype(x.dtype), weights_t, activation, output_activation
     )
-
-    g = g.astype(jnp.float32)
-    dws = [None] * n
-    # Output layer.
-    delta = _act_bwd(g, pre_out, output_activation)
-    for i in range(n - 1, -1, -1):
-        # Weight gradient GEMM in the compute dtype with fp32 accumulation,
-        # like the reference's split-k fc_multiply (fully_fused_mlp.cu:784-830).
-        dws[i] = jnp.dot(
-            layer_inputs[i].astype(x.dtype).T,
-            delta.astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(weights_t[i].dtype)
-        delta_prev = jnp.dot(
-            delta.astype(x.dtype),
-            weights_t[i].T,
-            preferred_element_type=jnp.float32,
-        )
-        if i > 0:
-            z_prev = jnp.dot(
-                layer_inputs[i - 1], weights_t[i - 1],
-                preferred_element_type=jnp.float32,
-            )
-            delta = _act_bwd(delta_prev, z_prev, activation)
-        else:
-            dx = delta_prev.astype(x.dtype)
-    return dx, tuple(dws)
+    return dx, tuple(
+        dw.astype(w.dtype) for dw, w in zip(dws, weights_t)
+    )
 
 
 ffmlp_apply.defvjp(_ffmlp_fwd, _ffmlp_bwd)

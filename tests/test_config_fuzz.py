@@ -74,7 +74,14 @@ def test_random_config_trains(seed):
     if config["encoding"]["otype"] == "NRC" and n_in < 8:
         n_in = 9
 
-    model = tc.create_from_config(n_in, n_out, config, seed=seed)
+    try:
+        model = tc.create_from_config(n_in, n_out, config, seed=seed)
+    except ValueError as e:
+        if "exceed int32 indexing range" in str(e):
+            # Legitimately rejected: the sampled (dense grid, n_dims) combo
+            # wants a >2^31-row table — unaddressable on any backend.
+            pytest.skip(f"oversized grid config: {e}")
+        raise
     x = jnp.asarray(r.uniform(0, 1, (128, n_in)).astype(np.float32))
     t = jnp.asarray(r.uniform(0.1, 0.9, (128, n_out)).astype(np.float32))
     l1 = float(model.training_step(x, t))
