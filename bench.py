@@ -41,6 +41,21 @@ def main():
         help="Morton-sort each batch before the step (same training "
         "semantics — a batch is a set; improves hash-lookup locality)",
     )
+    parser.add_argument(
+        "--sampler",
+        choices=["stratified", "iid"],
+        default="stratified",
+        help="Batch sampler: 'stratified' draws one jittered uniform sample "
+        "per raster tile (variance-reduced; enables the gather-free static "
+        "path on coarse grid levels), 'iid' matches the reference's "
+        "curand-uniform loop exactly.",
+    )
+    parser.add_argument(
+        "--gather-strategy",
+        default=None,
+        help="Override the HashGrid gather strategy (default: 'stratified' "
+        "with the stratified sampler, 'quad' otherwise).",
+    )
     args = parser.parse_args()
 
     import jax
@@ -78,10 +93,11 @@ def main():
             "base_resolution": 16,
             "per_level_scale": args.per_level_scale,
             # TPU-native fast path: additive coherent hash + quad-row
-            # gathers (5x faster step than the XOR-hash default; exactly
-            # the same encoding family — see PLAN.md).
+            # gathers on fine levels, gather-free static path on coarse
+            # levels for stratified batches (see PLAN.md).
             "hash": "CoherentAdditive",
-            "gather_strategy": "quad",
+            "gather_strategy": args.gather_strategy
+            or ("stratified" if args.sampler == "stratified" else "quad"),
         },
         "network": {
             "otype": "FullyFusedMLP",
@@ -113,9 +129,17 @@ def main():
     # arrays are inlined as constants at lowering time, which forces a
     # device->host fetch (randomly stalls over the tunnel) and bloats the
     # compile-cache key.
+    from tcnn_tpu.utils.sampling import stratified_uniform
+
     @jax.jit
     def bench_step(state, key, img):
-        xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)
+        if args.sampler == "stratified":
+            # One jittered sample per raster tile (see utils/sampling.py):
+            # same per-sample uniform marginals, even coverage, and the
+            # layout contract for the coarse-level static grid path.
+            xy = stratified_uniform(key, args.batch, 2)
+        else:
+            xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)
         if args.sort_batch:
             # Morton-order the batch (a batch is a set — the loss and the
             # resulting update are permutation-invariant) so the grid

@@ -44,10 +44,10 @@ DEFAULT_CONFIG = {
         "log2_hashmap_size": 15,
         "base_resolution": 16,
         "per_level_scale": 1.5,
-        # TPU-native fast path (PLAN.md): 5x faster training than the
-        # XOR-hash default.
+        # TPU-native fast path (PLAN.md): additive hash, quad-row fine
+        # levels, gather-free static coarse levels (stratified batches).
         "hash": "CoherentAdditive",
-        "gather_strategy": "quad",
+        "gather_strategy": "stratified",
     },
     "network": {
         "otype": "FullyFusedMLP",
@@ -109,9 +109,14 @@ def main():
     trainer = model.trainer
     image_dev = jnp.asarray(image)
 
+    from tcnn_tpu.utils.sampling import stratified_uniform
+
     @jax.jit
     def step(state, key, img):
-        xy = jax.random.uniform(key, (batch, 2), jnp.float32)
+        # Stratified-jitter sampler (see utils/sampling.py): same uniform
+        # marginals as the reference's curand loop, lower variance, and the
+        # raster layout that unlocks the static coarse-level grid path.
+        xy = stratified_uniform(key, batch, 2)
         ij_y = jnp.clip((xy[:, 1] * h).astype(jnp.int32), 0, h - 1)
         ij_x = jnp.clip((xy[:, 0] * w).astype(jnp.int32), 0, w - 1)
         # Flat promise_in_bounds lookup (default-mode 2D indexing hits

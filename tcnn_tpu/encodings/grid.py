@@ -203,9 +203,21 @@ class GridEncoding(Encoding):
         # (reference: grid.h:1143-1151, a JIT-codegen input mode there).
         self.fixed_point_pos = bool(fixed_point_pos)
         # TPU gather strategy: "per_level" (default; loop fusion), "quad"
-        # (one row per cell; needs additive/dense indices), or "fused"
-        # (single materialized gather). Empirical on v5e — see PLAN.md.
+        # (one row per cell; needs additive/dense indices), "fused"
+        # (single materialized gather), or "stratified" (quad + gather-free
+        # static path on coarse levels for raster-stratified batches).
+        # Empirical on v5e — see PLAN.md.
         self.gather_strategy = "per_level"
+        # Levels with scale <= raster_max_scale index with raster strides
+        # (1, res, res^2, ...) — hashed levels then fold the raster index
+        # mod table size ("raster-additive" hashing), which makes the dense
+        # unfold a pure tile+reshape. Set (to strata-1) when the stratified
+        # strategy is selected; part of the encoding function, so it must be
+        # identical between training and inference configs.
+        self.raster_max_scale: Optional[float] = None
+        # Max per-dim window size (shift variants) the stratified fast path
+        # will materialize; levels needing more fall back to the quad path.
+        self.stratified_max_variants = 3
         # Optional explicit XLA index mode for the quad gather (e.g.
         # "promise_in_bounds"); None = plain indexing (loop fusion).
         self.index_mode = None
@@ -315,7 +327,22 @@ class GridEncoding(Encoding):
         # (reference: grid.h:1101-1105).
         return []
 
-    def _quad_table(self, table, lvl: int):
+    def _level_strides(self, lvl: int) -> Optional[List[int]]:
+        """Per-dim affine index strides for level ``lvl``'s corner layout.
+
+        Raster strides (1, res, res^2, ...) when the level is below
+        ``raster_max_scale`` (the stratified fast path's hashing), else the
+        constructor-derived strides (dense raster or additive hash factors).
+        """
+        if (
+            self.raster_max_scale is not None
+            and float(self.scales[lvl]) <= self.raster_max_scale
+        ):
+            res = int(self.resolutions[lvl])
+            return [res**k for k in range(self.n_dims_to_encode)]
+        return self._corner_strides[lvl]
+
+    def _quad_table(self, table, lvl: int, strides: Optional[List[int]] = None):
         """Per-level (size, 2^d * F) cell table: row i holds the features of
         all 2^d corners of the cell whose base-vertex index is i. Built with
         static rolls of the vertex table (their VJP turns the backward into
@@ -323,7 +350,8 @@ class GridEncoding(Encoding):
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
         sl = table[off : off + size]
-        strides = self._corner_strides[lvl]
+        if strides is None:
+            strides = self._level_strides(lvl)
         cols = []
         for cbits in self._corners:
             delta = 0
@@ -332,6 +360,48 @@ class GridEncoding(Encoding):
             delta %= size
             cols.append(jnp.roll(sl, -delta, axis=0) if delta else sl)
         return jnp.concatenate(cols, axis=1)
+
+    def _stratified_feats(self, table, lvl: int, strata: int, bits):
+        """Gather-free corner features for one coarse level of a stratified
+        batch (PLAN.md): unfold the raster-hashed quad table to the dense
+        (res, res) vertex grid (pure tile+reshape), upsample it to the
+        (strata, strata) tile grid with static one-hot einsums on the MXU
+        (one per window shift), and pick each sample's variant with an
+        elementwise mask — autodiff turns all of it into dense matmuls, so
+        the level's backward has no scatter-add at all.
+
+        Returns (strata*strata, 2^d * F) corner features in quad-column
+        order.
+        """
+        bu, bv, c0, n_var = bits
+        res = int(self.resolutions[lvl])
+        quad = self._quad_table(table, lvl)  # (size, C) raster strides
+        size, C = quad.shape
+        n_cells = res * res
+        reps = -(-n_cells // size)
+        D = quad if reps == 1 else jnp.tile(quad, (reps, 1))
+        D = D[:n_cells].reshape(res, res, C).astype(jnp.float32)
+        iota = jnp.arange(res, dtype=jnp.int32)[None, :]
+
+        def onehot(shift):
+            rows = jnp.asarray(np.minimum(c0 + shift, res - 1), jnp.int32)
+            return (iota == rows[:, None]).astype(jnp.float32)
+
+        feats = jnp.zeros((strata * strata, C), jnp.float32)
+        for dv in range(n_var):
+            y_up = jnp.einsum(
+                "ph,hwc->pwc", onehot(dv), D,
+                preferred_element_type=jnp.float32,
+            )
+            mask_v = (bv == dv)[:, None]
+            for du in range(n_var):
+                u = jnp.einsum(
+                    "pwc,qw->pqc", y_up, onehot(du),
+                    preferred_element_type=jnp.float32,
+                ).reshape(strata * strata, C)
+                mask = jnp.logical_and(mask_v, (bu == du)[:, None])
+                feats = jnp.where(mask, u, feats)
+        return feats
 
     # -- compute ---------------------------------------------------------------
     def apply(self, params, x, max_level: Optional[float] = None, rng=None):
@@ -373,9 +443,30 @@ class GridEncoding(Encoding):
         idx_levels = []
         w_levels = []
         sto_onehots = []
+        strat_bits: dict = {}
         stochastic = self.stochastic_interpolation and rng is not None and (
             self.interpolation_type != InterpolationType.Nearest
         )
+        # Stratified fast path (PLAN.md): when the caller guarantees sample
+        # j lies in raster tile j of a (strata x strata) partition of
+        # [0,1)^2 (see utils/sampling.py), coarse levels (scale <= strata-1)
+        # need NO random access at all — the tile->cell map is static, so
+        # the lookup becomes tile+reshape unfold, static one-hot einsum
+        # upsampling (MXU), and a 2x2 elementwise select; the autodiff
+        # backward is dense pooling matmuls instead of a scatter-add.
+        strat_strata = 0
+        if (
+            self.gather_strategy == "stratified"
+            and d == 2
+            and not self.fixed_point_pos
+            and not stochastic
+            and self.raster_max_scale is not None
+            and self.interpolation_type
+            in (InterpolationType.Linear, InterpolationType.Smoothstep)
+        ):
+            s_ = math.isqrt(batch)
+            if s_ * s_ == batch and s_ >= 2:
+                strat_strata = s_
         for lvl in range(L):
             scale = float(self.scales[lvl])
             res = int(self.resolutions[lvl])
@@ -434,17 +525,39 @@ class GridEncoding(Encoding):
                     )
                     sto_onehots.append(match.astype(jnp.float32))  # (B, C)
 
-            quad_level = (
-                self.gather_strategy in ("quad", "quad_fused")
+            lvl_stratified = False
+            if strat_strata and self.interpolation_type != InterpolationType.Nearest:
+                n_var = int(math.ceil(scale / strat_strata)) + 1
+                lvl_stratified = (
+                    scale <= self.raster_max_scale
+                    and n_var <= self.stratified_max_variants
+                )
+            if lvl_stratified:
+                # Static tile->cell map: sample j sits in raster tile
+                # (j // strata, j % strata); its base cell is c0 + a small
+                # dynamic shift in [0, n_var).
+                c0 = np.floor(
+                    np.arange(strat_strata) / strat_strata * scale + 0.5
+                ).astype(np.int64)
+                c0x = jnp.tile(jnp.asarray(c0, jnp.int32), strat_strata)
+                c0y = jnp.repeat(jnp.asarray(c0, jnp.int32), strat_strata)
+                strat_bits[lvl] = (
+                    pos_grid[:, 0] - c0x,
+                    pos_grid[:, 1] - c0y,
+                    c0,
+                    n_var,
+                )
+                idx_levels.append(None)
+            elif (
+                self.gather_strategy in ("quad", "quad_fused", "stratified")
                 and self.interpolation_type == InterpolationType.Linear
-                and self._corner_strides[lvl] is not None
-            )
-            if quad_level:
+                and self._level_strides(lvl) is not None
+            ):
                 # Base-corner index only; the other 2^d-1 corners are
                 # reached by static offsets via the quad table (PLAN.md).
                 base = jnp.zeros((batch,), jnp.uint32)
                 pg = pos_grid.astype(jnp.uint32)
-                for dim, stride in enumerate(self._corner_strides[lvl]):
+                for dim, stride in enumerate(self._level_strides(lvl)):
                     base = base + pg[:, dim] * jnp.uint32(stride & 0xFFFFFFFF)
                 idx_levels.append(
                     (base % jnp.uint32(level_size)).astype(jnp.int32)
@@ -543,7 +656,12 @@ class GridEncoding(Encoding):
             outs = []
             for lvl in range(L):
                 idx = idx_levels[lvl]
-                if idx.ndim == 1:
+                if idx is None:
+                    # Stratified static path — no random access (PLAN.md).
+                    feats = self._stratified_feats(
+                        table, lvl, strat_strata, strat_bits[lvl]
+                    ).reshape(batch, n_corners, F)
+                elif idx.ndim == 1:
                     # Quad-row path: ONE random access per cell (PLAN.md).
                     size = int(
                         self.offset_table[lvl + 1] - self.offset_table[lvl]
@@ -586,7 +704,7 @@ class GridEncoding(Encoding):
         return self._pad(y)
 
     def hyperparams(self):
-        return {
+        hp = {
             "otype": self.otype,
             "type": self.grid_type.value,
             "n_levels": self.n_levels,
@@ -596,7 +714,14 @@ class GridEncoding(Encoding):
             "per_level_scale": self.per_level_scale,
             "interpolation": self.interpolation_type.value,
             "hash": self.hash_type.value,
+            "gather_strategy": self.gather_strategy,
         }
+        if self.raster_max_scale is not None:
+            hp["stratified_max_variants"] = self.stratified_max_variants
+            hp["strata"] = int(
+                self.raster_max_scale / max(self.stratified_max_variants - 1, 1)
+            )
+        return hp
 
 
 def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
@@ -655,6 +780,18 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         fixed_point_pos=json_value(encoding, "fixed_point_pos", False),
     )
     # tcnn_tpu extension: TPU gather strategy ("per_level" | "fused" |
-    # "quad"); see PLAN.md.
+    # "quad" | "stratified"); see PLAN.md.
     enc.gather_strategy = json_value(encoding, "gather_strategy", "per_level")
+    if enc.gather_strategy == "stratified":
+        # The stratified fast path's static tile->cell maps require raster
+        # index strides on its levels; which levels those are is part of
+        # the encoding function, so it is fixed by config (not by the
+        # runtime batch): levels with scale <= (max_variants-1) * strata.
+        strata = json_value(encoding, "strata", 512)
+        enc.stratified_max_variants = json_value(
+            encoding, "stratified_max_variants", 3
+        )
+        enc.raster_max_scale = float(
+            (enc.stratified_max_variants - 1) * strata
+        )
     return enc

@@ -1,0 +1,83 @@
+"""Batch samplers.
+
+``stratified_uniform`` draws one jittered sample per cell of a regular
+raster partition of [0, 1)^d, returned in raster order (last dim fastest).
+Marginally each sample is uniform on its tile and the batch covers the
+domain evenly — a standard variance-reduction sampler. Its purpose here is
+also structural: batches with this layout satisfy the GridEncoding
+``gather_strategy="stratified"`` contract (sample ``j`` lies in raster tile
+``j``), which lets coarse grid levels run entirely on static dense ops
+(no gather/scatter; see encodings/grid.py and PLAN.md).
+
+The reference samples i.i.d. uniform positions in its training loops
+(e.g. samples/mlp_learning_an_image.cu:266-270); stratified-jitter is the
+TPU-native drop-in with the same convergence behavior (validated by the
+image-fit PSNR golden test) and a hardware-friendly access structure.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_uniform(
+    key: jax.Array,
+    n: int,
+    dims: int = 2,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """One jittered uniform sample per raster tile; raster-ordered.
+
+    Args:
+      key: PRNG key.
+      n: batch size; must be a perfect ``dims``-th power (e.g. 2^18 = 512^2
+        for dims=2).
+      dims: dimensionality of the unit cube.
+
+    Returns:
+      (n, dims) positions in [0, 1); sample ``j`` lies in tile
+      ``unravel_index(j, (strata,) * dims)`` with dimension order
+      (..., y, x) — i.e. dim 0 varies fastest, matching the GridEncoding
+      stratified convention.
+    """
+    strata = round(n ** (1.0 / dims))
+    if strata**dims != n:
+        raise ValueError(
+            f"stratified_uniform: n={n} is not a perfect {dims}-th power"
+        )
+    jitter = jax.random.uniform(key, (n, dims), dtype)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    base = []
+    for d in range(dims):
+        base.append((ids // (strata**d)) % strata)  # dim d period strata^d
+    base = jnp.stack(base, axis=1).astype(dtype)
+    return (base + jitter) / strata
+
+
+def strata_of(n: int, dims: int = 2) -> Optional[int]:
+    """The per-dim strata count if ``n`` is a perfect power, else None."""
+    strata = round(n ** (1.0 / dims))
+    return strata if strata**dims == n else None
+
+
+def is_stratified(x, strata: Optional[int] = None) -> bool:
+    """Debug helper (host-side): does batch ``x`` satisfy the stratified
+    raster contract? Intended for tests/validation, not hot paths."""
+    import numpy as np
+
+    x = np.asarray(x)
+    n, dims = x.shape
+    strata = strata or strata_of(n, dims)
+    if strata is None:
+        return False
+    ids = np.arange(n)
+    for d in range(dims):
+        tile = (ids // strata**d) % strata
+        got = np.floor(x[:, d] * strata).astype(np.int64)
+        if not np.array_equal(np.clip(got, 0, strata - 1), tile):
+            return False
+    return True

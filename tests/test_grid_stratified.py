@@ -1,0 +1,114 @@
+"""Stratified gather strategy: the static tile->cell fast path must match
+the quad path (same raster-hash function) exactly on batches that satisfy
+the stratified raster contract, and fall back gracefully otherwise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tcnn_tpu as tc
+from tcnn_tpu.utils.sampling import is_stratified, stratified_uniform
+
+
+def _pair(n_levels=6, strata=16, max_variants=3):
+    base = dict(
+        otype="HashGrid",
+        n_levels=n_levels,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+        hash="CoherentAdditive",
+    )
+    a = tc.create_encoding(
+        2,
+        {**base, "gather_strategy": "stratified", "strata": strata,
+         "stratified_max_variants": max_variants},
+        16,
+    )
+    # Reference: quad path forced onto the SAME raster-hash function.
+    b = tc.create_encoding(2, {**base, "gather_strategy": "quad"}, 16)
+    b.raster_max_scale = a.raster_max_scale
+    b.stratified_max_variants = max_variants
+    a.output_dtype = jnp.float32
+    b.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.n_params).astype(np.float32)
+    )
+    return a, b, params
+
+
+def test_sampler_contract():
+    x = stratified_uniform(jax.random.PRNGKey(0), 256, 2)
+    assert x.shape == (256, 2)
+    assert is_stratified(x)
+    assert not is_stratified(
+        jax.random.uniform(jax.random.PRNGKey(1), (256, 2))
+    )
+
+
+def test_stratified_matches_quad_forward():
+    a, b, params = _pair()
+    # Some levels actually take the static path (scale <= strata-1 -> V=2,
+    # plus V=3 levels up to raster_max_scale).
+    x = stratified_uniform(jax.random.PRNGKey(0), 256, 2)
+    ya = np.asarray(jax.jit(a.apply)(params, x))
+    yb = np.asarray(jax.jit(b.apply)(params, x))
+    np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
+
+
+def test_stratified_matches_quad_gradients():
+    a, b, params = _pair()
+    x = stratified_uniform(jax.random.PRNGKey(2), 256, 2)
+
+    def loss(enc):
+        return lambda p, xx: (enc.apply(p, xx) ** 2).sum()
+
+    ga_p, ga_x = jax.grad(loss(a), argnums=(0, 1))(params, x)
+    gb_p, gb_x = jax.grad(loss(b), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(ga_p), np.asarray(gb_p), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga_x), np.asarray(gb_x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_non_square_batch_falls_back():
+    a, b, params = _pair()
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (200, 2)), jnp.float32
+    )
+    ya = np.asarray(a.apply(params, x))
+    yb = np.asarray(b.apply(params, x))
+    np.testing.assert_allclose(ya, yb, rtol=1e-6, atol=1e-7)
+
+
+def test_stratified_in_full_model_trains():
+    cfg = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {
+            "otype": "HashGrid",
+            "n_levels": 4,
+            "n_features_per_level": 2,
+            "log2_hashmap_size": 8,
+            "base_resolution": 4,
+            "per_level_scale": 1.5,
+            "hash": "CoherentAdditive",
+            "gather_strategy": "stratified",
+            "strata": 16,
+        },
+        "network": {
+            "otype": "CutlassMLP",
+            "n_neurons": 16,
+            "n_hidden_layers": 1,
+        },
+    }
+    model = tc.create_from_config(2, 3, cfg)
+    x = stratified_uniform(jax.random.PRNGKey(0), 256, 2)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    l0 = float(model.trainer.training_step(x, y))
+    for i in range(20):
+        loss = float(model.trainer.training_step(x, y))
+    assert np.isfinite(loss) and loss < l0
