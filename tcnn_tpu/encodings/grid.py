@@ -37,6 +37,7 @@ from ..common import (
     string_to_hash_type,
     string_to_interpolation_type,
 )
+from ..ops.scatter_rows import gather_rows
 from ..utils.log import log_warning
 from .base import Encoding
 
@@ -225,6 +226,17 @@ class GridEncoding(Encoding):
         # quad lookup (dense transpose-matmul backward instead of a serial
         # scatter). Measured neutral on v5e at 2048 — off by default.
         self.onehot_threshold = 0
+        # Table-gradient reduction: "auto" picks the hierarchically
+        # factored one-hot MXU scatter (ops/scatter_rows.py) for large
+        # batches on per-level tables, XLA's scatter emitter otherwise;
+        # "xla" / "factored" force one. Factored accumulates in bfloat16
+        # (the reference accumulates grid grads in half, grid.h:660-671)
+        # and measures ~2.4 ms/level faster at flagship shapes (PLAN.md).
+        self.scatter_strategy = "auto"
+        # Auto gate: factored needs a batch big enough to amortize the
+        # masked-strip materialization and a per-level (not global) table.
+        self.factored_min_rows = 65536
+        self.factored_max_size = 65536
 
         d = self.n_dims_to_encode
         log2_scale = math.log2(self.per_level_scale)
@@ -327,6 +339,13 @@ class GridEncoding(Encoding):
         # (reference: grid.h:1101-1105).
         return []
 
+    def _scatter_mode(self, n_rows: int, size: int) -> str:
+        if self.scatter_strategy in ("xla", "factored"):
+            return self.scatter_strategy
+        if n_rows >= self.factored_min_rows and size <= self.factored_max_size:
+            return "factored"
+        return "xla"
+
     def _level_strides(self, lvl: int) -> Optional[List[int]]:
         """Per-dim affine index strides for level ``lvl``'s corner layout.
 
@@ -364,43 +383,65 @@ class GridEncoding(Encoding):
     def _stratified_feats(self, table, lvl: int, strata: int, bits):
         """Gather-free corner features for one coarse level of a stratified
         batch (PLAN.md): unfold the raster-hashed quad table to the dense
-        (res, res) vertex grid (pure tile+reshape), upsample it to the
-        (strata, strata) tile grid with static one-hot einsums on the MXU
-        (one per window shift), and pick each sample's variant with an
-        elementwise mask — autodiff turns all of it into dense matmuls, so
-        the level's backward has no scatter-add at all.
+        (res,)*d vertex grid (pure tile+reshape), upsample it to the
+        (strata,)*d tile grid with static one-hot tensor contractions on
+        the MXU (one per window shift), and pick each sample's variant with
+        an elementwise mask — autodiff turns all of it into dense matmuls,
+        so the level's backward has no scatter-add at all.
 
-        Returns (strata*strata, 2^d * F) corner features in quad-column
-        order.
+        Returns (strata^d, 2^d * F) corner features in quad-column order.
         """
-        bu, bv, c0, n_var = bits
+        import itertools
+
+        dim_bits, c0, n_var = bits
+        d = self.n_dims_to_encode
         res = int(self.resolutions[lvl])
         quad = self._quad_table(table, lvl)  # (size, C) raster strides
         size, C = quad.shape
-        n_cells = res * res
+        n_cells = res**d
         reps = -(-n_cells // size)
         D = quad if reps == 1 else jnp.tile(quad, (reps, 1))
-        D = D[:n_cells].reshape(res, res, C).astype(jnp.float32)
+        # Raster flat index = sum_i x_i * res^i -> axis order [x_{d-1},...,x_0]
+        D = D[:n_cells].reshape((res,) * d + (C,)).astype(jnp.float32)
         iota = jnp.arange(res, dtype=jnp.int32)[None, :]
 
         def onehot(shift):
             rows = jnp.asarray(np.minimum(c0 + shift, res - 1), jnp.int32)
             return (iota == rows[:, None]).astype(jnp.float32)
 
-        feats = jnp.zeros((strata * strata, C), jnp.float32)
-        for dv in range(n_var):
-            y_up = jnp.einsum(
-                "ph,hwc->pwc", onehot(dv), D,
-                preferred_element_type=jnp.float32,
-            )
-            mask_v = (bv == dv)[:, None]
-            for du in range(n_var):
-                u = jnp.einsum(
-                    "pwc,qw->pqc", y_up, onehot(du),
-                    preferred_element_type=jnp.float32,
-                ).reshape(strata * strata, C)
-                mask = jnp.logical_and(mask_v, (bu == du)[:, None])
-                feats = jnp.where(mask, u, feats)
+        # Upsample via successive one-hot tensor contractions, contracted
+        # highest input-dim first; intermediate results are shared across
+        # window variants by delta-prefix (the first contraction touches
+        # the full res^d tensor and dominates the FLOPs). Each tensordot
+        # consumes the current axis ``i`` (original D axis i survives at
+        # position i after i prepends/removals) and prepends a strata
+        # axis, so the final axis order is [dim_0, ..., dim_{d-1}, C];
+        # raster sample order needs [dim_{d-1}, ..., dim_0, C].
+        cache: dict = {(): D}
+
+        def partial_contract(prefix):
+            if prefix in cache:
+                return cache[prefix]
+            t = partial_contract(prefix[:-1])
+            i = len(prefix) - 1
+            t = jnp.tensordot(onehot(prefix[-1]), t, axes=[[1], [i]])
+            cache[prefix] = t
+            return t
+
+        def contract(deltas):
+            # deltas per input dim (dim 0 fastest); contract dim d-1 first.
+            t = partial_contract(tuple(reversed(deltas)))
+            return jnp.transpose(
+                t, tuple(reversed(range(d))) + (d,)
+            ).reshape(strata**d, C)
+
+        feats = jnp.zeros((strata**d, C), jnp.float32)
+        for deltas in itertools.product(range(n_var), repeat=d):
+            mask = None
+            for i in range(d):
+                m = dim_bits[i] == deltas[i]
+                mask = m if mask is None else jnp.logical_and(mask, m)
+            feats = jnp.where(mask[:, None], contract(list(deltas)), feats)
         return feats
 
     # -- compute ---------------------------------------------------------------
@@ -457,15 +498,15 @@ class GridEncoding(Encoding):
         strat_strata = 0
         if (
             self.gather_strategy == "stratified"
-            and d == 2
+            and d in (2, 3)
             and not self.fixed_point_pos
             and not stochastic
             and self.raster_max_scale is not None
             and self.interpolation_type
             in (InterpolationType.Linear, InterpolationType.Smoothstep)
         ):
-            s_ = math.isqrt(batch)
-            if s_ * s_ == batch and s_ >= 2:
+            s_ = round(batch ** (1.0 / d))
+            if s_**d == batch and s_ >= 2:
                 strat_strata = s_
         for lvl in range(L):
             scale = float(self.scales[lvl])
@@ -534,19 +575,20 @@ class GridEncoding(Encoding):
                 )
             if lvl_stratified:
                 # Static tile->cell map: sample j sits in raster tile
-                # (j // strata, j % strata); its base cell is c0 + a small
-                # dynamic shift in [0, n_var).
+                # ((j // strata^i) % strata per dim i); its base cell is
+                # c0 + a small dynamic shift in [0, n_var) per dim.
                 c0 = np.floor(
                     np.arange(strat_strata) / strat_strata * scale + 0.5
                 ).astype(np.int64)
-                c0x = jnp.tile(jnp.asarray(c0, jnp.int32), strat_strata)
-                c0y = jnp.repeat(jnp.asarray(c0, jnp.int32), strat_strata)
-                strat_bits[lvl] = (
-                    pos_grid[:, 0] - c0x,
-                    pos_grid[:, 1] - c0y,
-                    c0,
-                    n_var,
-                )
+                c0j = jnp.asarray(c0, jnp.int32)
+                dim_bits = []
+                for dim in range(d):
+                    c0_dim = jnp.tile(
+                        jnp.repeat(c0j, strat_strata**dim),
+                        strat_strata ** (d - 1 - dim),
+                    )
+                    dim_bits.append(pos_grid[:, dim] - c0_dim)
+                strat_bits[lvl] = (dim_bits, c0, n_var)
                 idx_levels.append(None)
             elif (
                 self.gather_strategy in ("quad", "quad_fused", "stratified")
@@ -676,7 +718,9 @@ class GridEncoding(Encoding):
                             onehot, quad, preferred_element_type=jnp.float32
                         ).astype(quad.dtype)
                     elif self.index_mode is None:
-                        feats = quad[idx]
+                        feats = gather_rows(
+                            quad, idx, self._scatter_mode(idx.shape[0], size)
+                        )
                     else:
                         feats = quad.at[idx].get(mode=self.index_mode)
                     feats = feats.reshape(batch, n_corners, F)
@@ -782,12 +826,16 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     # tcnn_tpu extension: TPU gather strategy ("per_level" | "fused" |
     # "quad" | "stratified"); see PLAN.md.
     enc.gather_strategy = json_value(encoding, "gather_strategy", "per_level")
+    enc.scatter_strategy = json_value(encoding, "scatter_strategy", "auto")
     if enc.gather_strategy == "stratified":
         # The stratified fast path's static tile->cell maps require raster
         # index strides on its levels; which levels those are is part of
         # the encoding function, so it is fixed by config (not by the
         # runtime batch): levels with scale <= (max_variants-1) * strata.
-        strata = json_value(encoding, "strata", 512)
+        # Default strata per dim: a 2^18 batch partitioned as 512^2 / 64^3.
+        strata = json_value(
+            encoding, "strata", 512 if n_dims_to_encode == 2 else 64
+        )
         enc.stratified_max_variants = json_value(
             encoding, "stratified_max_variants", 3
         )

@@ -112,3 +112,90 @@ def test_stratified_in_full_model_trains():
     for i in range(20):
         loss = float(model.trainer.training_step(x, y))
     assert np.isfinite(loss) and loss < l0
+
+
+def test_factored_scatter_matches_xla():
+    from tcnn_tpu.ops.scatter_rows import scatter_rows_factored
+
+    r = np.random.default_rng(7)
+    idx = jnp.asarray(r.integers(0, 1000, 4096), jnp.int32)
+    rows = jnp.asarray(r.normal(size=(4096, 8)), jnp.float32)
+    ref = np.zeros((1000, 8), np.float32)
+    np.add.at(ref, np.asarray(idx), np.asarray(rows))
+    got = np.asarray(
+        jax.jit(lambda i, v: scatter_rows_factored(i, v, 1000))(idx, rows)
+    )
+    # bf16 accumulation products: rows rounded to bf16 before the f32 sum.
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    got32 = np.asarray(
+        jax.jit(
+            lambda i, v: scatter_rows_factored(
+                i, v, 1000, compute_dtype=jnp.float32
+            )
+        )(idx, rows)
+    )
+    np.testing.assert_allclose(got32, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_factored_quad_gradients_match_xla():
+    base = dict(
+        otype="HashGrid",
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+        hash="CoherentAdditive",
+        gather_strategy="quad",
+    )
+    a = tc.create_encoding(2, {**base, "scatter_strategy": "factored"}, 16)
+    b = tc.create_encoding(2, {**base, "scatter_strategy": "xla"}, 16)
+    a.output_dtype = jnp.float32
+    b.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.n_params).astype(np.float32)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (512, 2)), jnp.float32
+    )
+
+    def loss(enc):
+        return lambda p: (enc.apply(p, x) ** 2).sum()
+
+    ga = np.asarray(jax.grad(loss(a))(params))
+    gb = np.asarray(jax.grad(loss(b))(params))
+    np.testing.assert_allclose(ga, gb, rtol=2e-2, atol=2e-2)
+
+
+def test_stratified_3d_matches_quad():
+    base = dict(
+        otype="HashGrid",
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+        hash="CoherentAdditive",
+    )
+    a = tc.create_encoding(
+        3, {**base, "gather_strategy": "stratified", "strata": 8}, 16
+    )
+    b = tc.create_encoding(3, {**base, "gather_strategy": "quad"}, 16)
+    b.raster_max_scale = a.raster_max_scale
+    a.output_dtype = jnp.float32
+    b.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.n_params).astype(np.float32)
+    )
+    x = stratified_uniform(jax.random.PRNGKey(0), 512, 3)
+    assert is_stratified(x)
+    ya = np.asarray(jax.jit(a.apply)(params, x))
+    yb = np.asarray(jax.jit(b.apply)(params, x))
+    np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
+
+    def loss(enc):
+        return lambda p: (enc.apply(p, x) ** 2).sum()
+
+    ga = np.asarray(jax.grad(loss(a))(params))
+    gb = np.asarray(jax.grad(loss(b))(params))
+    np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
