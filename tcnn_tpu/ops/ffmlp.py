@@ -39,6 +39,54 @@ from .pallas_utils import cdiv, interpret_mode
 DEFAULT_TILE_B = 4096
 
 
+def _lane_packing(weights_t: Sequence[jnp.ndarray]) -> int:
+    """Samples packed per 128-lane row for narrow MLPs.
+
+    A width-w MLP (w in {16, 32, 64}) fills only w of the 128 vector lanes
+    and w of the 128 MXU columns; packing G = 128/w samples per row with
+    block-diagonal weights (the TPU analogue of the reference packing
+    16-row wmma batch fragments per warp, fully_fused_mlp.cu:47-129) makes
+    every matmul (tile, 128) @ (128, 128) — full lane and MXU utilization
+    for G x the FLOPs, a net win whenever utilization gain (128/w)^2 beats
+    the G x waste.
+    """
+    w = weights_t[0].shape[1]
+    if w >= 128 or 128 % w != 0:
+        return 1
+    if any(wt.shape[1] != w for wt in weights_t[:-1]):
+        return 1
+    return 128 // w
+
+
+def _pack_block_diag(weights_t, G):
+    eye = None
+    packed = []
+    for wt in weights_t:
+        if eye is None or eye.dtype != wt.dtype:
+            eye = jnp.eye(G, dtype=wt.dtype)
+        packed.append(jnp.kron(eye, wt))
+    return packed
+
+
+def _pad_to_group(x, G):
+    b = x.shape[0]
+    pb = cdiv(b, G) * G
+    if pb != b:
+        x = jnp.pad(x, ((0, pb - b), (0, 0)))
+    return x
+
+
+def _unpack_dw(dw, G):
+    """(G*a, G*b) block-diagonal gradient -> (a, b): the off-diagonal
+    blocks couple different packed samples and are exactly zero in the
+    forward; their computed gradients belong to those zero blocks and are
+    discarded; the diagonal blocks each see a 1/G slice of the batch and
+    sum to the full weight gradient."""
+    a, b = dw.shape[0] // G, dw.shape[1] // G
+    t = dw.reshape(G, a, G, b)
+    return sum(t[g, :, g, :] for g in range(G))
+
+
 def _mlp_kernel(x_ref, *refs, activation: Activation, output_activation: Activation,
                 n_layers: int, out_dtype):
     """One batch tile through the whole MLP. refs = (w0, ..., wn-1, out)."""
@@ -60,6 +108,7 @@ def mlp_forward_pallas(
     activation: Activation,
     output_activation: Activation,
     tile_b: int = DEFAULT_TILE_B,
+    pack: bool = True,
 ) -> jnp.ndarray:
     """Run the fused forward pass.
 
@@ -68,7 +117,13 @@ def mlp_forward_pallas(
       weights_t: transposed weights [(in, w), (w, w)..., (w, out_p)] in the
         compute dtype — i.e. ``W_i^T`` of the stored row-major matrices so the
         kernel computes ``h @ W^T`` as plain ``h @ w``.
+      pack: lane-pack narrow widths (see ``_lane_packing``).
     """
+    orig_batch = x.shape[0]
+    G = _lane_packing(weights_t) if pack else 1
+    if G > 1:
+        weights_t = _pack_block_diag(weights_t, G)
+        x = _pad_to_group(x, G).reshape(-1, G * x.shape[1])
     batch, in_width = x.shape
     out_width = weights_t[-1].shape[1]
     n_layers = len(weights_t)
@@ -118,6 +173,8 @@ def mlp_forward_pallas(
 
     if padded_batch != batch:
         out = out[:batch]
+    if G > 1:
+        out = out.reshape(-1, out_width // G)[:orig_batch]
     return out
 
 
@@ -181,10 +238,17 @@ def mlp_backward_pallas(
     activation: Activation,
     output_activation: Activation,
     tile_b: int = DEFAULT_TILE_B,
+    pack: bool = True,
 ):
     """Fused-recompute backward: returns (dx, [dW...]) with dW in the same
     transposed (in, out) layout as ``weights_t``. HBM traffic is x + g +
     per-tile dW partials; all activations live and die in VMEM."""
+    orig_batch = x.shape[0]
+    G = _lane_packing(weights_t) if pack else 1
+    if G > 1:
+        weights_t = _pack_block_diag(weights_t, G)
+        x = _pad_to_group(x, G).reshape(-1, G * x.shape[1])
+        g = _pad_to_group(g, G).reshape(-1, G * g.shape[1])
     batch, in_width = x.shape
     out_width = weights_t[-1].shape[1]
     n_layers = len(weights_t)
@@ -245,6 +309,9 @@ def mlp_backward_pallas(
     )(x, g, *weights_t)
     dx = outs[0][:batch]
     dws = [p.sum(axis=0) for p in outs[1:]]
+    if G > 1:
+        dx = dx.reshape(-1, in_width // G)[:orig_batch]
+        dws = [_unpack_dw(dw, G) for dw in dws]
     return dx, dws
 
 

@@ -177,9 +177,16 @@ def scatter_rows_factored(
     per serialized row — measured 2.4 ms/level faster at the flagship shape
     (B=2^18, size=2^15, R=8; benchmarks/probe_factored in PLAN.md).
 
-    ``compute_dtype=bfloat16`` mirrors the reference's half-precision grid
-    gradient accumulation (grad_t, reference: grid.h:660-671); pass float32
-    for full precision at ~equal speed (still MXU-rounded products).
+    With ``compute_dtype=bfloat16`` (default) the gradient operand is fed
+    to the MXU as an error-compensated bf16 pair (value + 2^8-scaled
+    residual, two matmuls sharing the one-hot operand): measured relative
+    error ~3e-6 — far tighter than the reference's half-precision grid
+    gradient accumulation (grad_t, reference: grid.h:660-671) — at ~2x the
+    single-matmul cost and still ~2x faster than the XLA scatter emitter.
+    The power-of-two residual scaling is exact and keeps XLA's algebraic
+    simplifier from re-merging the pair into one bf16 add.
+    Pass ``compute_dtype=float32`` for full-precision MXU passes
+    (``Precision.HIGHEST``; ~20% slower than the compensated pair).
     """
     B, R = rows.shape
     s_pad = -(-size // lo_width) * lo_width
@@ -187,17 +194,33 @@ def scatter_rows_factored(
     hi = (idx // lo_width).astype(jnp.int32)
     lo = (idx % lo_width).astype(jnp.int32)
     iota_lo = jnp.arange(lo_width, dtype=jnp.int32)[None, :]
-    g_lo = jnp.where(
+    g32 = jnp.where(
         (iota_lo == lo[:, None])[..., None],
-        rows[:, None, :].astype(compute_dtype),
-        jnp.zeros((), compute_dtype),
+        rows[:, None, :].astype(jnp.float32),
+        0.0,
     ).reshape(B, lo_width * R)
     iota_hi = jnp.arange(hi_w, dtype=jnp.int32)[None, :]
-    oh_hi = (iota_hi == hi[:, None]).astype(compute_dtype)
-    out = jnp.dot(
-        oh_hi.T, g_lo, preferred_element_type=jnp.float32
-    ).reshape(s_pad, R)
-    return out[:size]
+    if compute_dtype == jnp.float32:
+        oh_hi = (iota_hi == hi[:, None]).astype(jnp.float32)
+        out = jax.lax.dot_general(
+            oh_hi.T,
+            g32,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        oh_hi = (iota_hi == hi[:, None]).astype(compute_dtype)
+        g_hi = g32.astype(compute_dtype)
+        g_res = ((g32 - g_hi.astype(jnp.float32)) * 256.0).astype(
+            compute_dtype
+        )
+        out = jnp.dot(
+            oh_hi.T, g_hi, preferred_element_type=jnp.float32
+        ) + (1.0 / 256.0) * jnp.dot(
+            oh_hi.T, g_res, preferred_element_type=jnp.float32
+        )
+    return out.reshape(s_pad, R)[:size]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

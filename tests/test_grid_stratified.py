@@ -125,8 +125,8 @@ def test_factored_scatter_matches_xla():
     got = np.asarray(
         jax.jit(lambda i, v: scatter_rows_factored(i, v, 1000))(idx, rows)
     )
-    # bf16 accumulation products: rows rounded to bf16 before the f32 sum.
-    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    # compensated bf16 pair: ~3e-6 relative error.
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
     got32 = np.asarray(
         jax.jit(
             lambda i, v: scatter_rows_factored(
@@ -164,7 +164,7 @@ def test_factored_quad_gradients_match_xla():
 
     ga = np.asarray(jax.grad(loss(a))(params))
     gb = np.asarray(jax.grad(loss(b))(params))
-    np.testing.assert_allclose(ga, gb, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-3)
 
 
 def test_stratified_3d_matches_quad():
