@@ -340,7 +340,7 @@ class GridEncoding(Encoding):
         return []
 
     def _scatter_mode(self, n_rows: int, size: int) -> str:
-        if self.scatter_strategy in ("xla", "factored"):
+        if self.scatter_strategy in ("xla", "factored", "factored_f32"):
             return self.scatter_strategy
         if n_rows >= self.factored_min_rows and size <= self.factored_max_size:
             return "factored"

@@ -38,6 +38,13 @@ from .pallas_utils import cdiv, interpret_mode
 # 64); all weights + activation buffers still stay far under VMEM.
 DEFAULT_TILE_B = 4096
 
+# Lane packing default. Standalone forward throughput measures neutral at
+# width 64 and the packed shapes fail Mosaic remote-compile at tiles
+# >= 16384; composed in the flagship train step it measured a large
+# regression (27 -> 63 ms/step) — off until the composed loss is
+# understood. Flip per call with pack=True.
+DEFAULT_PACK = False
+
 
 def _lane_packing(weights_t: Sequence[jnp.ndarray]) -> int:
     """Samples packed per 128-lane row for narrow MLPs.
@@ -108,7 +115,7 @@ def mlp_forward_pallas(
     activation: Activation,
     output_activation: Activation,
     tile_b: int = DEFAULT_TILE_B,
-    pack: bool = True,
+    pack: bool = DEFAULT_PACK,
 ) -> jnp.ndarray:
     """Run the fused forward pass.
 
@@ -238,7 +245,7 @@ def mlp_backward_pallas(
     activation: Activation,
     output_activation: Activation,
     tile_b: int = DEFAULT_TILE_B,
-    pack: bool = True,
+    pack: bool = DEFAULT_PACK,
 ):
     """Fused-recompute backward: returns (dx, [dW...]) with dW in the same
     transposed (in, out) layout as ``weights_t``. HBM traffic is x + g +

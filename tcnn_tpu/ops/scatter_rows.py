@@ -180,11 +180,14 @@ def scatter_rows_factored(
     With ``compute_dtype=bfloat16`` (default) the gradient operand is fed
     to the MXU as an error-compensated bf16 pair (value + 2^8-scaled
     residual, two matmuls sharing the one-hot operand): measured relative
-    error ~3e-6 — far tighter than the reference's half-precision grid
-    gradient accumulation (grad_t, reference: grid.h:660-671) — at ~2x the
-    single-matmul cost and still ~2x faster than the XLA scatter emitter.
-    The power-of-two residual scaling is exact and keeps XLA's algebraic
-    simplifier from re-merging the pair into one bf16 add.
+    error ~3e-6 on the v5e — far tighter than the reference's
+    half-precision grid gradient accumulation (grad_t, reference:
+    grid.h:660-671) — at ~2x the single-matmul cost and still ~2x faster
+    than the XLA scatter emitter. The ``optimization_barrier`` on the
+    rounded value is REQUIRED: XLA-TPU's excess-precision simplification
+    elides the bf16 round-trip inside ``g - f32(bf16(g))``, silently
+    zeroing the residual (measured; plain-bf16 noise cost ~7 dB of PSNR
+    on the image-fit golden test). The residual scaling by 2^8 is exact.
     Pass ``compute_dtype=float32`` for full-precision MXU passes
     (``Precision.HIGHEST``; ~20% slower than the compensated pair).
     """
@@ -211,7 +214,7 @@ def scatter_rows_factored(
         )
     else:
         oh_hi = (iota_hi == hi[:, None]).astype(compute_dtype)
-        g_hi = g32.astype(compute_dtype)
+        g_hi = jax.lax.optimization_barrier(g32.astype(compute_dtype))
         g_res = ((g32 - g_hi.astype(jnp.float32)) * 256.0).astype(
             compute_dtype
         )
@@ -244,6 +247,10 @@ def _gather_rows_bwd(scatter, res, g):
     flat_g = g.reshape(-1, r)
     if scatter == "factored":
         dt = scatter_rows_factored(flat_idx, flat_g, size).astype(g.dtype)
+    elif scatter == "factored_f32":
+        dt = scatter_rows_factored(
+            flat_idx, flat_g, size, compute_dtype=jnp.float32
+        ).astype(g.dtype)
     else:
         dt = (
             jnp.zeros(shape, g.dtype)
