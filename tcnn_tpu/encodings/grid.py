@@ -424,7 +424,16 @@ class GridEncoding(Encoding):
                 return cache[prefix]
             t = partial_contract(prefix[:-1])
             i = len(prefix) - 1
-            t = jnp.tensordot(onehot(prefix[-1]), t, axes=[[1], [i]])
+            # HIGHEST precision: these contractions SELECT f32 feature rows
+            # (the other operand is an exact one-hot); default MXU passes
+            # truncate the features to bf16 (measured 2.7e-3 rel fwd error
+            # at flagship scale -> a ~3 dB PSNR cap on the image fit).
+            t = jnp.tensordot(
+                onehot(prefix[-1]),
+                t,
+                axes=[[1], [i]],
+                precision=jax.lax.Precision.HIGHEST,
+            )
             cache[prefix] = t
             return t
 
