@@ -91,3 +91,31 @@ for i in range(10):
 print("eikonal losses:", [round(l, 4) for l in losses], flush=True)
 assert losses[-1] < losses[0], "eikonal training did not descend"
 print("eikonal OK", flush=True)
+
+
+# Stratified 3D variant: strata 64^3 batch; levels with scale <= 128 go
+# static (see PLAN.md), the rest stay quad (+ factored scatter where the
+# table fits the gate).
+from tcnn_tpu.utils.sampling import stratified_uniform
+
+CFG3D_STRAT = {
+    **CFG3D,
+    "encoding": {**CFG3D["encoding"], "gather_strategy": "stratified"},
+}
+model2 = tc.create_from_config(3, 4, CFG3D_STRAT)
+trainer2 = model2.trainer
+xs3 = stratified_uniform(jax.random.PRNGKey(7), batch, 3)
+step2 = jax.jit(trainer2._train_step)
+t0 = time.time()
+c2 = step2.lower(trainer2.state, xs3, t).compile()
+print("3D stratified step compile", round(time.time() - t0, 1), flush=True)
+st2 = trainer2.state
+st2, loss2 = c2(st2, xs3, t)
+_ = float(loss2)
+t0 = time.time()
+for _ in range(15):
+    st2, loss2 = c2(st2, xs3, t)
+v2 = float(loss2)
+dt2 = (time.time() - t0) / 15
+print(f"3D stratified train step: {dt2*1e3:.1f} ms -> {batch/dt2:.3g} "
+      f"samples/s (loss {v2:.3e})", flush=True)
