@@ -734,7 +734,21 @@ class GridEncoding(Encoding):
                         feats = quad.at[idx].get(mode=self.index_mode)
                     feats = feats.reshape(batch, n_corners, F)
                 else:
-                    feats = table[idx]  # (B, C, F)
+                    # Per-level vertex gather, rebased to the level's table
+                    # slice so the factored MXU scatter can take the VJP
+                    # when the level fits the gate (slice/pad adjoints are
+                    # dense and cheap).
+                    size = int(
+                        self.offset_table[lvl + 1] - self.offset_table[lvl]
+                    )
+                    off = int(self.offset_table[lvl])
+                    mode = self._scatter_mode(idx.size, size)
+                    if mode == "xla":
+                        feats = table[idx]  # (B, C, F)
+                    else:
+                        feats = gather_rows(
+                            table[off : off + size], idx - jnp.int32(off), mode
+                        )
                 if stochastic:
                     outs.append(
                         _stochastic_combine(

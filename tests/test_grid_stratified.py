@@ -199,3 +199,34 @@ def test_stratified_3d_matches_quad():
     ga = np.asarray(jax.grad(loss(a))(params))
     gb = np.asarray(jax.grad(loss(b))(params))
     np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
+
+
+def test_factored_per_level_gradients_match_xla():
+    base = dict(
+        otype="HashGrid",
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+    )  # default per_level strategy, XOR hash
+    a = tc.create_encoding(2, {**base, "scatter_strategy": "factored"}, 16)
+    b = tc.create_encoding(2, {**base, "scatter_strategy": "xla"}, 16)
+    a.output_dtype = jnp.float32
+    b.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.n_params).astype(np.float32)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (512, 2)), jnp.float32
+    )
+
+    def loss(enc):
+        return lambda p: (enc.apply(p, x) ** 2).sum()
+
+    ya = np.asarray(a.apply(params, x))
+    yb = np.asarray(b.apply(params, x))
+    np.testing.assert_allclose(ya, yb, rtol=1e-6, atol=1e-7)
+    ga = np.asarray(jax.grad(loss(a))(params))
+    gb = np.asarray(jax.grad(loss(b))(params))
+    np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-3)
