@@ -384,10 +384,11 @@ class GridEncoding(Encoding):
         """Gather-free corner features for one coarse level of a stratified
         batch (PLAN.md): unfold the raster-hashed quad table to the dense
         (res,)*d vertex grid (pure tile+reshape), upsample it to the
-        (strata,)*d tile grid with static one-hot tensor contractions on
-        the MXU (one per window shift), and pick each sample's variant with
-        an elementwise mask — autodiff turns all of it into dense matmuls,
-        so the level's backward has no scatter-add at all.
+        (strata,)*d tile grid with static slice-gathers (one per window
+        shift), and pick each sample's variant with an elementwise mask —
+        the backward is static slice scatter-adds (a few hundred constant
+        indices over whole planes: bandwidth-bound, nothing like the
+        per-sample random scatter this path exists to avoid).
 
         Returns (strata^d, 2^d * F) corner features in quad-column order.
         """
@@ -403,37 +404,32 @@ class GridEncoding(Encoding):
         D = quad if reps == 1 else jnp.tile(quad, (reps, 1))
         # Raster flat index = sum_i x_i * res^i -> axis order [x_{d-1},...,x_0]
         D = D[:n_cells].reshape((res,) * d + (C,)).astype(jnp.float32)
-        iota = jnp.arange(res, dtype=jnp.int32)[None, :]
 
-        def onehot(shift):
-            rows = jnp.asarray(np.minimum(c0 + shift, res - 1), jnp.int32)
-            return (iota == rows[:, None]).astype(jnp.float32)
-
-        # Upsample via successive one-hot tensor contractions, contracted
-        # highest input-dim first; intermediate results are shared across
-        # window variants by delta-prefix (the first contraction touches
-        # the full res^d tensor and dominates the FLOPs). Each tensordot
-        # consumes the current axis ``i`` (original D axis i survives at
-        # position i after i prepends/removals) and prepends a strata
-        # axis, so the final axis order is [dim_0, ..., dim_{d-1}, C];
-        # raster sample order needs [dim_{d-1}, ..., dim_0, C].
+        # Upsample via successive STATIC slice-gathers (jnp.take with
+        # constant indices), contracted highest input-dim first;
+        # intermediates are shared across window variants by delta-prefix
+        # (the first stage touches the full res^d tensor and dominates).
+        # A gather of `strata` constant indices whose slices are whole
+        # (res^k * C)-element planes is bandwidth-bound on XLA's TPU
+        # emitter (per-index overhead amortizes over the big slice), its
+        # VJP is an equally cheap static slice scatter-add, and — unlike a
+        # one-hot MXU contraction — it is EXACT in f32 with no precision
+        # knobs (default MXU passes truncate operands to bf16; HIGHEST
+        # costs 6 passes — both measured worse, see PLAN.md). Axis ``i``
+        # is consumed and moved to the front, so the final axis order is
+        # [dim_0, ..., dim_{d-1}, C]; raster sample order needs
+        # [dim_{d-1}, ..., dim_0, C].
         cache: dict = {(): D}
+
+        def rows_for(shift):
+            return jnp.asarray(np.minimum(c0 + shift, res - 1), jnp.int32)
 
         def partial_contract(prefix):
             if prefix in cache:
                 return cache[prefix]
             t = partial_contract(prefix[:-1])
             i = len(prefix) - 1
-            # HIGHEST precision: these contractions SELECT f32 feature rows
-            # (the other operand is an exact one-hot); default MXU passes
-            # truncate the features to bf16 (measured 2.7e-3 rel fwd error
-            # at flagship scale -> a ~3 dB PSNR cap on the image fit).
-            t = jnp.tensordot(
-                onehot(prefix[-1]),
-                t,
-                axes=[[1], [i]],
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            t = jnp.moveaxis(jnp.take(t, rows_for(prefix[-1]), axis=i), i, 0)
             cache[prefix] = t
             return t
 
