@@ -153,13 +153,20 @@ def main():
                     | (((q[:, 1] >> b) & 1) << (2 * b + 1))
                 )
             xy = xy[jnp.argsort(key_bits)]
-        ij = jnp.clip((xy * res).astype(jnp.int32), 0, res - 1)
-        # Flat promise_in_bounds lookup: default-mode 2D indexing takes
-        # XLA's bounds-checked gather path (~1000x slower on TPU).
-        flat = ij[:, 1] * res + ij[:, 0]
-        target = img.reshape(res * res, 3).at[flat].get(
-            mode="promise_in_bounds"
-        )
+        if args.sampler == "stratified" and args.batch == res * res:
+            # Stratified tiles coincide with pixels (strata == res), so the
+            # nearest-pixel lookup of sample j is EXACTLY pixel j: the
+            # target gather is the identity (algebraically identical to
+            # the indexed lookup below, minus a B-row random gather).
+            target = img.reshape(res * res, 3)
+        else:
+            ij = jnp.clip((xy * res).astype(jnp.int32), 0, res - 1)
+            # Flat promise_in_bounds lookup: default-mode 2D indexing takes
+            # XLA's bounds-checked gather path (~1000x slower on TPU).
+            flat = ij[:, 1] * res + ij[:, 0]
+            target = img.reshape(res * res, 3).at[flat].get(
+                mode="promise_in_bounds"
+            )
         return trainer._step_impl(state, xy, target, None)
 
     state = trainer.state
