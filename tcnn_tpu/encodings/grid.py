@@ -415,10 +415,10 @@ class GridEncoding(Encoding):
         # VJP is an equally cheap static slice scatter-add, and — unlike a
         # one-hot MXU contraction — it is EXACT in f32 with no precision
         # knobs (default MXU passes truncate operands to bf16; HIGHEST
-        # costs 6 passes — both measured worse, see PLAN.md). Axis ``i``
-        # is consumed and moved to the front, so the final axis order is
-        # [dim_0, ..., dim_{d-1}, C]; raster sample order needs
-        # [dim_{d-1}, ..., dim_0, C].
+        # costs 6 passes — both measured worse, see PLAN.md). Gathering
+        # each axis IN PLACE keeps D's [dim_{d-1}, ..., dim_0, C] axis
+        # order, which already matches raster sample order — no
+        # transposes (the moveaxis form cost ~3 ms/step in layout copies).
         cache: dict = {(): D}
 
         def rows_for(shift):
@@ -429,16 +429,15 @@ class GridEncoding(Encoding):
                 return cache[prefix]
             t = partial_contract(prefix[:-1])
             i = len(prefix) - 1
-            t = jnp.moveaxis(jnp.take(t, rows_for(prefix[-1]), axis=i), i, 0)
+            t = jnp.take(t, rows_for(prefix[-1]), axis=i)
             cache[prefix] = t
             return t
 
         def contract(deltas):
-            # deltas per input dim (dim 0 fastest); contract dim d-1 first.
+            # deltas per input dim (dim 0 fastest); axis 0 of D is dim
+            # d-1, so the prefix order is the reversed delta tuple.
             t = partial_contract(tuple(reversed(deltas)))
-            return jnp.transpose(
-                t, tuple(reversed(range(d))) + (d,)
-            ).reshape(strata**d, C)
+            return t.reshape(strata**d, C)
 
         feats = jnp.zeros((strata**d, C), jnp.float32)
         for deltas in itertools.product(range(n_var), repeat=d):

@@ -21,6 +21,7 @@ that explodes compile time.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -165,7 +166,7 @@ def scatter_rows_factored(
     idx: jnp.ndarray,
     rows: jnp.ndarray,
     size: int,
-    lo_width: int = 32,
+    lo_width: int | None = None,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Row scatter-add as dense MXU work via index factorization (PLAN.md).
@@ -192,6 +193,12 @@ def scatter_rows_factored(
     (``Precision.HIGHEST``; ~20% slower than the compensated pair).
     """
     B, R = rows.shape
+    if lo_width is None:
+        # Measured on v5e (flagship shapes): the sqrt(size/R) "traffic
+        # optimum" of 64 is ~1.8 ms/step WORSE composed than 32 — the
+        # masked-strip construction costs more than the one-hot operand.
+        # Cap at 32; shrink for tiny tables.
+        lo_width = 1 << max(3, min(5, round(math.log2(max(size / R, 1)) / 2)))
     s_pad = -(-size // lo_width) * lo_width
     hi_w = s_pad // lo_width
     hi = (idx // lo_width).astype(jnp.int32)
