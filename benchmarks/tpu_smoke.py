@@ -75,6 +75,20 @@ CASES = {
         "network": {"otype": "FullyFusedMLP", "n_neurons": 16,
                     "n_hidden_layers": 1},
     },
+    "stratified_factored_adam": {
+        # The flagship fast paths at small scale: stratified static coarse
+        # levels + factored MXU scatter (gates forced so the small smoke
+        # batch exercises both).
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam"},
+        "encoding": {"otype": "HashGrid", "n_levels": 6,
+                     "log2_hashmap_size": 10, "base_resolution": 4,
+                     "per_level_scale": 1.5, "hash": "CoherentAdditive",
+                     "gather_strategy": "stratified", "strata": 32,
+                     "scatter_strategy": "factored"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
     "smoothstep_3d_expdecay": {
         "loss": {"otype": "L2"},
         "optimizer": {"otype": "ExponentialDecay", "decay_start": 2,
@@ -100,9 +114,23 @@ def main():
             model = tc.create_from_config(n_in, 3, cfg, seed=1)
             r = np.random.default_rng(0)
             losses = []
-            for _ in range(8):
-                x = jnp.asarray(r.uniform(0, 1, (2048, n_in)).astype(np.float32))
-                t = jnp.asarray(r.uniform(0, 1, (2048, 3)).astype(np.float32))
+            stratified = (
+                cfg["encoding"].get("gather_strategy") == "stratified"
+            )
+            if stratified:
+                from tcnn_tpu.utils.sampling import stratified_uniform
+            for i in range(8):
+                if stratified:
+                    x = stratified_uniform(
+                        jax.random.PRNGKey(i), 1024, n_in
+                    )
+                else:
+                    x = jnp.asarray(
+                        r.uniform(0, 1, (2048, n_in)).astype(np.float32)
+                    )
+                t = jnp.asarray(
+                    r.uniform(0, 1, (x.shape[0], 3)).astype(np.float32)
+                )
                 losses.append(float(model.training_step(x, t)))
             out = np.asarray(model.inference(x))
             ok = (

@@ -230,3 +230,39 @@ def test_factored_per_level_gradients_match_xla():
     ga = np.asarray(jax.grad(loss(a))(params))
     gb = np.asarray(jax.grad(loss(b))(params))
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-3)
+
+
+def test_stratified_smoothstep_matches_quad():
+    base = dict(
+        otype="HashGrid",
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+        hash="CoherentAdditive",
+        interpolation="Smoothstep",
+    )
+    a = tc.create_encoding(
+        2, {**base, "gather_strategy": "stratified", "strata": 16}, 16
+    )
+    b = tc.create_encoding(2, {**base, "gather_strategy": "quad"}, 16)
+    b.raster_max_scale = a.raster_max_scale
+    a.output_dtype = jnp.float32
+    b.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.n_params).astype(np.float32)
+    )
+    x = stratified_uniform(jax.random.PRNGKey(1), 256, 2)
+    # Smoothstep + quad falls back to per-level (quad needs Linear), but
+    # the hash/strides are identical, so outputs must match exactly.
+    ya = np.asarray(a.apply(params, x))
+    yb = np.asarray(b.apply(params, x))
+    np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
+
+    def loss(enc):
+        return lambda p: (enc.apply(p, x) ** 2).sum()
+
+    ga = np.asarray(jax.grad(loss(a))(params))
+    gb = np.asarray(jax.grad(loss(b))(params))
+    np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
