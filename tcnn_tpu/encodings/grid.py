@@ -38,7 +38,6 @@ from ..common import (
     string_to_interpolation_type,
 )
 from ..ops.scatter_rows import gather_rows
-from ..utils.log import log_warning
 from .base import Encoding
 
 # Hash factors (reference: common_device.h:782-795; primes from the

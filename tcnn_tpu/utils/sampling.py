@@ -17,8 +17,7 @@ image-fit PSNR golden test) and a hardware-friendly access structure.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
