@@ -33,6 +33,7 @@ def _build() -> bool:
                 "-shared",
                 "-fPIC",
                 "-std=c++17",
+                "-pthread",
                 str(_SRC),
                 "-o",
                 str(_LIB),
@@ -71,6 +72,23 @@ def _load():
                 ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint32),
             ]
+            lib.sampler_create.restype = ctypes.c_void_p
+            lib.sampler_create.argtypes = [
+                ctypes.POINTER(ctypes.c_float),  # image
+                ctypes.c_int64,  # h
+                ctypes.c_int64,  # w
+                ctypes.c_int64,  # c
+                ctypes.c_int64,  # batch
+                ctypes.c_int,    # strata (0 = iid)
+                ctypes.c_uint64,  # seed
+                ctypes.c_int,    # n_buffers
+            ]
+            lib.sampler_next.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.sampler_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
