@@ -127,3 +127,46 @@ def test_siren_initialization_scale():
     # first layer: U(-30/fan_in, 30/fan_in)
     assert np.abs(w_in).max() <= 30.0 / 32 + 1e-6
     assert np.abs(w_in).max() > 0.5 * 30.0 / 32
+
+
+def test_lane_packed_ffmlp_matches_unpacked():
+    """The shelved lane-packing path (pack=True) must stay numerically
+    identical to the default: block-diagonal packing is a pure batch
+    re-layout."""
+    import numpy as np
+
+    from tcnn_tpu.common import Activation
+    from tcnn_tpu.ops.ffmlp import mlp_backward_pallas, mlp_forward_pallas
+
+    r = np.random.default_rng(0)
+    ws = [
+        jnp.asarray(r.normal(0, 0.3, (32, 32)), jnp.float32).astype(
+            jnp.bfloat16
+        )
+        for _ in range(3)
+    ]
+    x = jnp.asarray(r.normal(0, 1, (260, 32)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    g = jnp.asarray(r.normal(0, 1, (260, 32)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    a = mlp_forward_pallas(x, ws, Activation.ReLU, Activation.NONE, pack=False)
+    b = mlp_forward_pallas(x, ws, Activation.ReLU, Activation.NONE, pack=True)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=0, atol=0
+    )
+    dxa, dwsa = mlp_backward_pallas(
+        x, g, ws, Activation.ReLU, Activation.NONE, pack=False
+    )
+    dxb, dwsb = mlp_backward_pallas(
+        x, g, ws, Activation.ReLU, Activation.NONE, pack=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(dxa, np.float32), np.asarray(dxb, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+    for da, db in zip(dwsa, dwsb):
+        np.testing.assert_allclose(
+            np.asarray(da), np.asarray(db), rtol=1e-4, atol=1e-4
+        )
