@@ -210,9 +210,16 @@ class Trainer:
 
     def inference(self, inputs) -> jnp.ndarray:
         """Serving path: inference params, trimmed fp32 output
-        (reference: object.h:214-271)."""
-        out = self.model.apply(self.inference_params(), inputs)
-        return out[:, : self.model.n_output_dims].astype(jnp.float32)
+        (reference: object.h:214-271). Jitted and cached (re-traces only
+        per input shape); the reference analogue is the CUDA-graph-free
+        inference fast path."""
+        if not hasattr(self, "_jit_inference"):
+            def _infer(p, x):
+                out = self.model.apply(p, x)
+                return out[:, : self.model.n_output_dims].astype(jnp.float32)
+
+            self._jit_inference = jax.jit(_infer)
+        return self._jit_inference(self.inference_params(), inputs)
 
     # -- hyperparams ------------------------------------------------------------
     def update_hyperparams(self, params: Dict):
@@ -225,6 +232,8 @@ class Trainer:
         self._jit_train_step_pdf = jax.jit(
             self._train_step_with_pdf, donate_argnums=(0,)
         )
+        if hasattr(self, "_jit_inference"):
+            del self._jit_inference
 
     # -- serialization (reference: trainer.h:442-482) -------------------------
     def serialize(self, serialize_optimizer: bool = False) -> Dict:
