@@ -590,7 +590,13 @@ class GridEncoding(Encoding):
                         jnp.repeat(c0j, strat_strata**dim),
                         strat_strata ** (d - 1 - dim),
                     )
-                    dim_bits.append(pos_grid[:, dim] - c0_dim)
+                    # Clamp: for in-contract inputs the shift is already in
+                    # [0, n_var); float32-vs-float64 floor ties at tile
+                    # boundaries then degrade to an adjacent cell instead
+                    # of silently zero features.
+                    dim_bits.append(
+                        jnp.clip(pos_grid[:, dim] - c0_dim, 0, n_var - 1)
+                    )
                 strat_bits[lvl] = (dim_bits, c0, n_var)
                 idx_levels.append(None)
             elif (
