@@ -25,7 +25,10 @@ ENCODINGS = [
         "hash": str(r.choice(
             ["CoherentPrime", "Prime", "BaseConvert", "CoherentAdditive"]
         )),
-        "gather_strategy": str(r.choice(["per_level", "quad", "fused"])),
+        "gather_strategy": str(
+            r.choice(["per_level", "quad", "fused", "stratified"])
+        ),
+        "scatter_strategy": str(r.choice(["auto", "xla", "factored"])),
     },
     lambda r: {"otype": "DenseGrid", "n_levels": int(r.integers(2, 5)),
                "base_resolution": int(r.choice([2, 4, 8]))},
