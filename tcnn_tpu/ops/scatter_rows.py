@@ -268,3 +268,79 @@ def _gather_rows_bwd(scatter, res, g):
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def scatter_rows_factored_batched(
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    size: int,
+    lo_width: int | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """``scatter_rows_factored`` over a leading level axis: idx (K, B),
+    rows (K, B, R) -> (K, size, R). One batched einsum pair instead of K
+    matmul pairs (identical per-level math and summation order on the
+    MXU; collapses the per-level op chains the flagship profile showed as
+    launch overhead)."""
+    K, B, R = rows.shape
+    if lo_width is None:
+        lo_width = 1 << max(3, min(5, round(math.log2(max(size / R, 1)) / 2)))
+    s_pad = -(-size // lo_width) * lo_width
+    hi_w = s_pad // lo_width
+    hi = (idx // lo_width).astype(jnp.int32)
+    lo = (idx % lo_width).astype(jnp.int32)
+    iota_lo = jnp.arange(lo_width, dtype=jnp.int32)[None, None, :]
+    g32 = jnp.where(
+        (iota_lo == lo[..., None])[..., None],
+        rows[:, :, None, :].astype(jnp.float32),
+        0.0,
+    ).reshape(K, B, lo_width * R)
+    iota_hi = jnp.arange(hi_w, dtype=jnp.int32)[None, None, :]
+    oh_hi = (iota_hi == hi[..., None]).astype(compute_dtype)
+    g_hi = jax.lax.optimization_barrier(g32.astype(compute_dtype))
+    g_res = ((g32 - g_hi.astype(jnp.float32)) * 256.0).astype(compute_dtype)
+    out = jnp.einsum(
+        "kbh,kbc->khc", oh_hi, g_hi, preferred_element_type=jnp.float32
+    ) + (1.0 / 256.0) * jnp.einsum(
+        "kbh,kbc->khc", oh_hi, g_res, preferred_element_type=jnp.float32
+    )
+    return out.reshape(K, s_pad, R)[:, :size]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_batched(tables: jnp.ndarray, idx: jnp.ndarray,
+                        scatter: str = "xla"):
+    """Batched row gather ``tables[k][idx[k]]`` (tables (K, S, R), idx
+    (K, B) -> (K, B, R)) with a selectable VJP scatter strategy, batching
+    K same-shape levels into single XLA ops."""
+    return jnp.take_along_axis(tables, idx[..., None], axis=1)
+
+
+def _gather_rows_batched_fwd(tables, idx, scatter):
+    return gather_rows_batched(tables, idx, scatter), (idx, tables.shape)
+
+
+def _gather_rows_batched_bwd(scatter, res, g):
+    idx, shape = res
+    K, size, r = shape
+    if scatter in ("factored", "factored_f32"):
+        dt = scatter_rows_factored_batched(
+            idx,
+            g,
+            size,
+            compute_dtype=(
+                jnp.float32 if scatter == "factored_f32" else jnp.bfloat16
+            ),
+        ).astype(g.dtype)
+    else:
+        dt = (
+            jnp.zeros(shape, g.dtype)
+            .at[
+                jnp.arange(K, dtype=idx.dtype)[:, None], idx
+            ]
+            .add(g, mode="promise_in_bounds")
+        )
+    return dt, None
+
+
+gather_rows_batched.defvjp(_gather_rows_batched_fwd, _gather_rows_batched_bwd)
