@@ -37,7 +37,7 @@ from ..common import (
     string_to_hash_type,
     string_to_interpolation_type,
 )
-from ..ops.scatter_rows import gather_rows, gather_rows_batched
+from ..ops.scatter_rows import gather_rows
 from .base import Encoding
 
 # Hash factors (reference: common_device.h:782-795; primes from the
@@ -704,40 +704,15 @@ class GridEncoding(Encoding):
             # Per-level gathers; XLA fuses each into the surrounding
             # interpolation arithmetic (loop fusion), which measures faster
             # in the full training step than the materialized fused gather.
-            #
-            # Same-shape quad levels batch into ONE gather + ONE factored-
-            # scatter pair over a level axis (the flagship's 5 fine levels
-            # each emitted ~10 ops; the profile showed sub-50us op launches
-            # summing to ~9 ms/step).
-            batched_feats = {}
-            quad_groups: dict = {}
-            for lvl in range(L):
-                idx = idx_levels[lvl]
-                if idx is None or idx.ndim != 1 or self.index_mode is not None:
-                    continue
-                size = int(
-                    self.offset_table[lvl + 1] - self.offset_table[lvl]
-                )
-                if size <= self.onehot_threshold:
-                    continue
-                mode = self._scatter_mode(idx.shape[0], size)
-                quad_groups.setdefault((size, mode), []).append(lvl)
-            for (size, mode), lvls in quad_groups.items():
-                if len(lvls) < 2:
-                    continue
-                quads = jnp.stack(
-                    [self._quad_table(table, l) for l in lvls]
-                )  # (K, size, C)
-                gidx = jnp.stack([idx_levels[l] for l in lvls])  # (K, B)
-                feats_all = gather_rows_batched(quads, gidx, mode)
-                for pos, l in enumerate(lvls):
-                    batched_feats[l] = feats_all[pos]
+            # (Batching same-shape quad levels through ONE
+            # gather_rows_batched call measured 4 ms/step SLOWER composed
+            # — the materialized (K, B, C) tensors cost more than the
+            # saved op launches; per-level loop fusion wins. The batched
+            # ops remain in ops/scatter_rows.py with CPU coverage.)
             outs = []
             for lvl in range(L):
                 idx = idx_levels[lvl]
-                if lvl in batched_feats:
-                    feats = batched_feats[lvl].reshape(batch, n_corners, F)
-                elif idx is None:
+                if idx is None:
                     # Stratified static path — no random access (PLAN.md).
                     feats = self._stratified_feats(
                         table, lvl, strat_strata, strat_bits[lvl]

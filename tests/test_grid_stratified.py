@@ -266,3 +266,30 @@ def test_stratified_smoothstep_matches_quad():
     ga = np.asarray(jax.grad(loss(a))(params))
     gb = np.asarray(jax.grad(loss(b))(params))
     np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_gather_rows_op():
+    """The batched level-axis gather/scatter op (kept for future use;
+    measured slower composed than per-level on v5e) stays correct."""
+    from tcnn_tpu.ops.scatter_rows import gather_rows_batched
+
+    r = np.random.default_rng(3)
+    K, S, B, R = 3, 256, 1024, 8
+    tables = jnp.asarray(r.normal(size=(K, S, R)).astype(np.float32))
+    idx = jnp.asarray(r.integers(0, S, (K, B)), jnp.int32)
+    g = jnp.asarray(r.normal(size=(K, B, R)).astype(np.float32))
+    out = np.asarray(gather_rows_batched(tables, idx, "factored"))
+    ref = np.stack(
+        [np.asarray(tables[k])[np.asarray(idx[k])] for k in range(K)]
+    )
+    np.testing.assert_array_equal(out, ref)
+    for mode, tol in (("factored", 1e-3), ("xla", 0.0)):
+        dt = jax.vjp(
+            lambda t: gather_rows_batched(t, idx, mode), tables
+        )[1](g)[0]
+        refdt = np.zeros((K, S, R), np.float32)
+        for k in range(K):
+            np.add.at(refdt[k], np.asarray(idx[k]), np.asarray(g[k]))
+        np.testing.assert_allclose(
+            np.asarray(dt), refdt, rtol=tol, atol=tol
+        )
