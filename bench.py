@@ -51,6 +51,13 @@ def main():
         "curand-uniform loop exactly.",
     )
     parser.add_argument(
+        "--stratified-variants",
+        type=int,
+        default=3,
+        help="Max per-dim window size of the stratified static path "
+        "(levels needing more fall back to quad rows).",
+    )
+    parser.add_argument(
         "--gather-strategy",
         default=None,
         help="Override the HashGrid gather strategy (default: 'stratified' "
@@ -98,6 +105,7 @@ def main():
             "hash": "CoherentAdditive",
             "gather_strategy": args.gather_strategy
             or ("stratified" if args.sampler == "stratified" else "quad"),
+            "stratified_max_variants": args.stratified_variants,
         },
         "network": {
             "otype": "FullyFusedMLP",

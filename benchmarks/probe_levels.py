@@ -5,6 +5,10 @@ flagship quad-path config; the difference between consecutive rows is the
 marginal cost of that level's gather+scatter.
 """
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import sys
 import time
 

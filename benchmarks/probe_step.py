@@ -1,5 +1,9 @@
 """Probe: where do the 700ms of backward go?"""
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import time
 
 import jax

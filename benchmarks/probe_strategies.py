@@ -3,6 +3,10 @@
 Usage: probe_strategies.py [log2_hashmap] [per_level_scale] [strategies...]
 """
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import sys
 import time
 

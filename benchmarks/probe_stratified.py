@@ -10,6 +10,10 @@ Measures, at flagship-relevant sizes (B=2^18, S=2^15):
      flagship protocol) + FFMLP step — sizes the coarse-level prize.
 """
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import time
 
 import jax
