@@ -787,6 +787,7 @@ class GridEncoding(Encoding):
             "interpolation": self.interpolation_type.value,
             "hash": self.hash_type.value,
             "gather_strategy": self.gather_strategy,
+            "scatter_strategy": self.scatter_strategy,
         }
         if self.raster_max_scale is not None:
             hp["stratified_max_variants"] = self.stratified_max_variants
