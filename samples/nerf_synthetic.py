@@ -224,9 +224,14 @@ def main():
     mse = float(np.mean((pred - gt) ** 2))
     psnr = -10 * np.log10(mse) if mse > 0 else float("inf")
     print(f"validation view PSNR: {psnr:.2f} dB")
-    np.save("nerf_pred.npy", pred)
-    np.save("nerf_gt.npy", gt)
-    print("wrote nerf_pred.npy / nerf_gt.npy")
+    if len(sys.argv) > 3:
+        # Optional output dir (3rd arg); no artifacts are written otherwise
+        # so test runs leave the working tree clean.
+        out_dir = Path(sys.argv[3])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        np.save(out_dir / "nerf_pred.npy", pred)
+        np.save(out_dir / "nerf_gt.npy", gt)
+        print(f"wrote {out_dir}/nerf_pred.npy / nerf_gt.npy")
 
 
 if __name__ == "__main__":

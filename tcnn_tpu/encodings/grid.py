@@ -448,7 +448,14 @@ class GridEncoding(Encoding):
         return feats
 
     # -- compute ---------------------------------------------------------------
-    def apply(self, params, x, max_level: Optional[float] = None, rng=None):
+    def apply(
+        self,
+        params,
+        x,
+        max_level: Optional[float] = None,
+        rng=None,
+        stratified: Optional[bool] = None,
+    ):
         """Encode positions.
 
         Args:
@@ -462,6 +469,15 @@ class GridEncoding(Encoding):
             of each (sample, level) goes in full to ONE corner sampled per
             the interpolation weights (reference: grid.h:284-299); input
             gradients stay exact.
+          stratified: gate for the gather-free static coarse-level path of
+            ``gather_strategy="stratified"``. ``None`` (default) auto-detects
+            by batch size; ``False`` forces the per-sample fallback (use for
+            arbitrary batches, e.g. serving); ``True`` asserts the contract.
+            Whenever the static path runs, an on-device check verifies the
+            raster-tile contract (sample j in tile j) and **NaN-poisons the
+            output on violation** — a conforming-size but non-conforming-
+            layout batch fails loudly instead of silently corrupting
+            features.
         """
         d = self.n_dims_to_encode
         L = self.n_levels
@@ -500,7 +516,8 @@ class GridEncoding(Encoding):
         # backward is dense pooling matmuls instead of a scatter-add.
         strat_strata = 0
         if (
-            self.gather_strategy == "stratified"
+            stratified is not False
+            and self.gather_strategy == "stratified"
             and d in (2, 3)
             and not self.fixed_point_pos
             and not stochastic
@@ -511,6 +528,30 @@ class GridEncoding(Encoding):
             s_ = round(batch ** (1.0 / d))
             if s_**d == batch and s_ >= 2:
                 strat_strata = s_
+        if stratified and not strat_strata:
+            raise ValueError(
+                "stratified=True but the static path is unavailable "
+                f"(batch {batch} must be a perfect {d}-th power and the "
+                "encoding must be configured with gather_strategy="
+                "'stratified')"
+            )
+        contract_ok = None
+        if strat_strata:
+            # On-device raster-tile contract check (cheap VPU compares):
+            # sample j must lie in tile j (dim i tile = (j // strata^i) %
+            # strata). One extra tile of slack per dim absorbs f32 rounding
+            # at tile boundaries (base+jitter can round up into the next
+            # tile; the static path's dim_bits clamp handles those). The
+            # result NaN-poisons the output below — misuse fails loudly.
+            ids = jnp.arange(batch, dtype=jnp.int32)
+            contract_ok = jnp.bool_(True)
+            for dim in range(d):
+                tile = (ids // (strat_strata**dim)) % strat_strata
+                got = jnp.floor(x[:, dim] * strat_strata).astype(jnp.int32)
+                diff = jnp.clip(got, 0, strat_strata - 1) - tile
+                contract_ok = jnp.logical_and(
+                    contract_ok, jnp.all((diff >= 0) & (diff <= 1))
+                )
         for lvl in range(L):
             scale = float(self.scales[lvl])
             res = int(self.resolutions[lvl])
@@ -613,23 +654,29 @@ class GridEncoding(Encoding):
                 idx_levels.append(
                     (base % jnp.uint32(level_size)).astype(jnp.int32)
                 )
-            elif self._use_hash[lvl]:
-                idx = _grid_hash(corner, self.hash_type)
+            elif self._level_strides(lvl) is not None:
+                # Affine corner fold over the level's strides — identical
+                # indices to the quad path for ANY interpolation mode and
+                # batch shape. Covers dense/tiled raster indexing (uint32
+                # wrapping like the reference's index_dense,
+                # common_device.h:855-884), the additive hash, and — the
+                # part that matters for consistency — hashed levels under
+                # ``raster_max_scale``, which must fold raster strides mod
+                # the table size on EVERY path (a Smoothstep batch that
+                # misses the quad elif previously fell into the `_use_hash`
+                # branch and produced different features; see ADVICE r1).
+                strides = self._level_strides(lvl)
+                idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
+                for dim in range(d):
+                    idx = idx + corner[..., dim] * jnp.uint32(
+                        strides[dim] & 0xFFFFFFFF
+                    )
                 idx = idx % jnp.uint32(level_size)
                 idx_levels.append(
                     idx.astype(jnp.int32) + jnp.int32(level_offset)
                 )
             else:
-                # uint32 wrapping like the reference's index_dense
-                # (common_device.h:855-884): res**dim can exceed 2^32 for
-                # high-dimensional dense/tiled grids.
-                stride = 1
-                idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
-                for dim in range(d):
-                    idx = idx + corner[..., dim] * jnp.uint32(
-                        stride & 0xFFFFFFFF
-                    )
-                    stride *= res
+                idx = _grid_hash(corner, self.hash_type)
                 idx = idx % jnp.uint32(level_size)
                 idx_levels.append(
                     idx.astype(jnp.int32) + jnp.int32(level_offset)
@@ -771,6 +818,11 @@ class GridEncoding(Encoding):
             lvl_ids = jnp.arange(L, dtype=jnp.float32)
             active = lvl_ids < (jnp.float32(max_level) * L + 1e-3)
             y = jnp.where(active[None, :, None], y, 0.0)
+
+        if contract_ok is not None and strat_bits:
+            # Static coarse levels ran: poison everything if the batch
+            # violated the raster contract (see docstring).
+            y = jnp.where(contract_ok, y, jnp.nan)
 
         y = y.reshape(batch, L * F)
         return self._pad(y)

@@ -208,14 +208,26 @@ class Trainer:
             self._train_step_with_pdf, donate_argnums=(0,)
         )
 
+    def _inference_kwargs(self) -> Dict[str, Any]:
+        """Serving batches are arbitrary layouts: force the grid encoding's
+        per-sample fallback instead of the stratified static path (which
+        would NaN-poison non-conforming chunks — e.g. raster slices of an
+        image whose width differs from the training strata)."""
+        enc = getattr(self.model, "encoding", None)
+        if getattr(enc, "gather_strategy", None) == "stratified":
+            return {"stratified": False}
+        return {}
+
     def inference(self, inputs) -> jnp.ndarray:
         """Serving path: inference params, trimmed fp32 output
         (reference: object.h:214-271). Jitted and cached (re-traces only
         per input shape); the reference analogue is the CUDA-graph-free
         inference fast path."""
         if not hasattr(self, "_jit_inference"):
+            kwargs = self._inference_kwargs()
+
             def _infer(p, x):
-                out = self.model.apply(p, x)
+                out = self.model.apply(p, x, **kwargs)
                 return out[:, : self.model.n_output_dims].astype(jnp.float32)
 
             self._jit_inference = jax.jit(_infer)

@@ -293,3 +293,105 @@ def test_batched_gather_rows_op():
         np.testing.assert_allclose(
             np.asarray(dt), refdt, rtol=tol, atol=tol
         )
+
+
+def test_nonconforming_layout_poisons():
+    """ADVICE r1 (high): a conforming-SIZE batch with a non-conforming
+    LAYOUT must fail loudly (NaN poison), not silently return wrong
+    features; stratified=False must give the exact per-sample fallback."""
+    a, b, params = _pair()
+    x = stratified_uniform(jax.random.PRNGKey(0), 256, 2)
+    perm = np.random.default_rng(5).permutation(256)
+    x_bad = x[jnp.asarray(perm)]
+    assert not is_stratified(x_bad)
+
+    y_bad = np.asarray(a.apply(params, x_bad))
+    # All real feature lanes NaN (alignment padding lanes stay 0).
+    n_real = a.n_levels * a.n_features_per_level
+    assert np.isnan(y_bad[:, :n_real]).all(), "violation must NaN-poison"
+
+    # Explicit opt-out: per-sample fallback, identical to the quad ref.
+    y_ok = np.asarray(a.apply(params, x_bad, stratified=False))
+    y_ref = np.asarray(b.apply(params, x_bad))
+    np.testing.assert_allclose(y_ok, y_ref, rtol=1e-6, atol=1e-7)
+
+    # Conforming batches never poison.
+    y = np.asarray(a.apply(params, x))
+    assert np.isfinite(y).all()
+
+    # stratified=True with an impossible batch size raises at trace time.
+    import pytest
+
+    with pytest.raises(ValueError, match="stratified=True"):
+        a.apply(params, x[:200], stratified=True)
+
+
+def test_smoothstep_hashed_raster_level_permutation_invariance():
+    """ADVICE r1 (medium): with Smoothstep interpolation, hashed levels
+    under raster_max_scale must use the raster-additive fold on EVERY
+    path — the encoding is a pure function of position, so shuffling the
+    batch (which drops it to the per-sample fallback) must only permute
+    the output."""
+    base = dict(
+        otype="HashGrid",
+        n_levels=6,  # levels 4-5 (res 21/31) are hashed at 2^8 rows
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+        hash="CoherentAdditive",
+        interpolation="Smoothstep",
+    )
+    a = tc.create_encoding(
+        2, {**base, "gather_strategy": "stratified", "strata": 16}, 16
+    )
+    a.output_dtype = jnp.float32
+    # The interesting case needs a hashed level with raster strides.
+    assert any(
+        a._use_hash[l]
+        and float(a.scales[l]) <= a.raster_max_scale
+        for l in range(a.n_levels)
+    )
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.n_params).astype(np.float32)
+    )
+    x = stratified_uniform(jax.random.PRNGKey(1), 256, 2)
+    perm = jnp.asarray(np.random.default_rng(2).permutation(256))
+    ya = np.asarray(a.apply(params, x, stratified=True))
+    yb = np.asarray(a.apply(params, x[perm], stratified=False))
+    np.testing.assert_allclose(ya[np.asarray(perm)], yb, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_inference_forces_fallback():
+    """Trainer.inference serves arbitrary batch layouts: it must route
+    around the stratified static path (ADVICE r1: raster chunks of a
+    w != strata image were silently corrupted)."""
+    cfg = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {
+            "otype": "HashGrid",
+            "n_levels": 4,
+            "n_features_per_level": 2,
+            "log2_hashmap_size": 8,
+            "base_resolution": 4,
+            "per_level_scale": 1.5,
+            "hash": "CoherentAdditive",
+            "gather_strategy": "stratified",
+            "strata": 16,
+        },
+        "network": {
+            "otype": "CutlassMLP",
+            "n_neurons": 16,
+            "n_hidden_layers": 1,
+        },
+    }
+    model = tc.create_from_config(2, 3, cfg)
+    x = stratified_uniform(jax.random.PRNGKey(0), 256, 2)
+    perm = jnp.asarray(np.random.default_rng(1).permutation(256))
+    out_sorted = np.asarray(model.trainer.inference(x))
+    out_shuffled = np.asarray(model.trainer.inference(x[perm]))
+    assert np.isfinite(out_shuffled).all()
+    np.testing.assert_allclose(
+        out_sorted[np.asarray(perm)], out_shuffled, rtol=2e-2, atol=2e-3
+    )
