@@ -61,6 +61,21 @@ class FullyFusedMLP(MLP):
         dt = self.compute_dtype
         ws = self._weights(params)
         weights_t = tuple(w.astype(dt).T for w in ws)
-        return ffmlp_apply(
-            x.astype(dt), weights_t, self.activation, self.output_activation
-        )
+        try:
+            return ffmlp_apply(
+                x.astype(dt), weights_t, self.activation,
+                self.output_activation,
+            )
+        except (TypeError, ValueError) as e:
+            # The fused kernel's custom_vjp supports first-order reverse
+            # mode only; forward-mode tracing (jvp -> TypeError naming
+            # custom_vjp; grad∘grad -> direct-linearize ValueError — e.g.
+            # eikonal SDF losses) raises at bind time. Route those traces
+            # to the plain XLA chain, which is differentiable at every
+            # order. (The reference has no MLP double-backward at all —
+            # object.h:479-483 throws for everything but the grid — so
+            # this fallback strictly exceeds reference capability.)
+            msg = str(e)
+            if "custom_vjp" not in msg and "Linearization failed" not in msg:
+                raise
+            return super().apply(params, x)

@@ -233,41 +233,51 @@ def scatter_rows_factored(
     return out.reshape(s_pad, R)[:size]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _factored_scatter_of(scatter: str, size: int, r: int, out_dtype):
+    """The transpose of a row gather under the given strategy."""
+
+    def ft(idx, g):
+        flat_idx = idx.reshape(-1)
+        flat_g = g.reshape(-1, r)
+        if scatter == "factored_f32":
+            dt = scatter_rows_factored(
+                flat_idx, flat_g, size, compute_dtype=jnp.float32
+            )
+        else:
+            dt = scatter_rows_factored(flat_idx, flat_g, size)
+        return dt.astype(out_dtype)
+
+    return ft
+
+
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
-    """Row gather ``table[idx]`` whose VJP scatter strategy is selectable:
-    "xla" (autodiff default: the serialized scatter emitter) or "factored"
-    (``scatter_rows_factored``). idx may be any integer shape; features are
-    the trailing axis of ``table``.
+    """Row gather ``table[idx]`` whose transpose (the autodiff backward)
+    scatter strategy is selectable: "xla" (the plain scatter-add emitter)
+    or "factored"/"factored_f32" (``scatter_rows_factored``, dense MXU
+    work). idx may be any integer shape; features are the trailing axis of
+    ``table``.
+
+    Differentiable at ANY order: the factored strategies are built on
+    ``jax.custom_derivatives.linear_call`` (gather is linear in the table;
+    its custom transpose is the factored scatter, whose own transpose is
+    gather again), so grad∘grad / jvp / eikonal losses compose — the
+    analogue of the reference grid's native ``backward_backward_input``
+    (reference: encodings/grid.h:910-1042). Under ``vmap`` (no
+    linear_call batching rule in jax 0.9) it falls back to plain indexing:
+    identical values, XLA-emitter backward.
     """
-    return table[idx]
-
-
-def _gather_rows_fwd(table, idx, scatter):
-    return table[idx], (idx, table.shape)
-
-
-def _gather_rows_bwd(scatter, res, g):
-    idx, shape = res
-    size, r = shape
-    flat_idx = idx.reshape(-1)
-    flat_g = g.reshape(-1, r)
-    if scatter == "factored":
-        dt = scatter_rows_factored(flat_idx, flat_g, size).astype(g.dtype)
-    elif scatter == "factored_f32":
-        dt = scatter_rows_factored(
-            flat_idx, flat_g, size, compute_dtype=jnp.float32
-        ).astype(g.dtype)
-    else:
-        dt = (
-            jnp.zeros(shape, g.dtype)
-            .at[flat_idx]
-            .add(flat_g, mode="promise_in_bounds")
+    if scatter == "xla":
+        # Plain indexing IS the op: fully composable, and autodiff derives
+        # the (deterministic) XLA scatter-add transpose.
+        return table[idx]
+    size, r = table.shape
+    ft = _factored_scatter_of(scatter, size, r, table.dtype)
+    try:
+        return jax.custom_derivatives.linear_call(
+            lambda i, t: t[i], lambda i, g: ft(i, g), idx, table
         )
-    return dt, None
-
-
-gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+    except NotImplementedError:  # vmap: no batching rule for linear_call
+        return table[idx]
 
 
 def scatter_rows_factored_batched(
@@ -307,40 +317,30 @@ def scatter_rows_factored_batched(
     return out.reshape(K, s_pad, R)[:, :size]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows_batched(tables: jnp.ndarray, idx: jnp.ndarray,
                         scatter: str = "xla"):
     """Batched row gather ``tables[k][idx[k]]`` (tables (K, S, R), idx
-    (K, B) -> (K, B, R)) with a selectable VJP scatter strategy, batching
-    K same-shape levels into single XLA ops."""
-    return jnp.take_along_axis(tables, idx[..., None], axis=1)
+    (K, B) -> (K, B, R)) with a selectable transpose scatter strategy,
+    batching K same-shape levels into single XLA ops. Any-order
+    differentiable like ``gather_rows`` (same linear_call construction)."""
+    if scatter == "xla":
+        return jnp.take_along_axis(tables, idx[..., None], axis=1)
+    K, size, r = tables.shape
+    compute_dtype = (
+        jnp.float32 if scatter == "factored_f32" else jnp.bfloat16
+    )
 
+    def ft(i, g):
+        return scatter_rows_factored_batched(
+            i, g, size, compute_dtype=compute_dtype
+        ).astype(tables.dtype)
 
-def _gather_rows_batched_fwd(tables, idx, scatter):
-    return gather_rows_batched(tables, idx, scatter), (idx, tables.shape)
-
-
-def _gather_rows_batched_bwd(scatter, res, g):
-    idx, shape = res
-    K, size, r = shape
-    if scatter in ("factored", "factored_f32"):
-        dt = scatter_rows_factored_batched(
+    try:
+        return jax.custom_derivatives.linear_call(
+            lambda i, t: jnp.take_along_axis(t, i[..., None], axis=1),
+            lambda i, g: ft(i, g),
             idx,
-            g,
-            size,
-            compute_dtype=(
-                jnp.float32 if scatter == "factored_f32" else jnp.bfloat16
-            ),
-        ).astype(g.dtype)
-    else:
-        dt = (
-            jnp.zeros(shape, g.dtype)
-            .at[
-                jnp.arange(K, dtype=idx.dtype)[:, None], idx
-            ]
-            .add(g, mode="promise_in_bounds")
+            tables,
         )
-    return dt, None
-
-
-gather_rows_batched.defvjp(_gather_rows_batched_fwd, _gather_rows_batched_bwd)
+    except NotImplementedError:  # vmap fallback
+        return jnp.take_along_axis(tables, idx[..., None], axis=1)

@@ -249,49 +249,51 @@ class Trainer:
 
     # -- serialization (reference: trainer.h:442-482) -------------------------
     def serialize(self, serialize_optimizer: bool = False) -> Dict:
-        params = np.asarray(self.state["params"], np.float32)
-        blob = {
-            "n_params": int(self.model.n_params),
-            "params_type": "float",
-            "params_binary": base64.b64encode(params.tobytes()).decode("ascii"),
-        }
-        if serialize_optimizer:
-            opt_np = jax.tree_util.tree_map(
-                lambda a: np.asarray(a), self.state["opt"]
-            )
-            blob["optimizer"] = _tree_to_json(opt_np)
-        return blob
+        """Reference-layout snapshot: ``{n_params, params_type,
+        params_binary, optimizer?}`` with optimizer state in each
+        optimizer's native format (adam.h:304-325 etc. — see
+        interchange.py). Binary blobs are nlohmann text-JSON binary
+        objects (``{"bytes": [...]}``), so ``json.dumps`` of the result is
+        parseable by the reference's ``nlohmann::json``; use
+        ``interchange.to_msgpack(serialize_trainer(...))`` for the compact
+        MessagePack spelling."""
+        from . import interchange
+
+        return interchange.to_json_obj(
+            interchange.serialize_trainer(self, serialize_optimizer)
+        )
 
     def deserialize(self, blob: Dict):
-        n = int(blob["n_params"])
-        if n != self.model.n_params:
-            raise ValueError(
-                f"checkpoint has {n} params, model has {self.model.n_params}"
+        """Accepts reference-layout snapshots (text-JSON or msgpack-decoded)
+        and the legacy tcnn_tpu r1 base64 format."""
+        from . import interchange
+
+        if isinstance(blob.get("params_binary"), str):
+            # Legacy r1 format: base64 params + __ndarray__ optimizer tree.
+            n = int(blob["n_params"])
+            if n != self.model.n_params:
+                raise ValueError(
+                    f"checkpoint has {n} params, model has "
+                    f"{self.model.n_params}"
+                )
+            dtype = (
+                np.float16 if blob.get("params_type") == "half" else np.float32
             )
-        dtype = np.float16 if blob.get("params_type") == "half" else np.float32
-        params = np.frombuffer(
-            base64.b64decode(blob["params_binary"]), dtype=dtype
-        ).astype(np.float32)
-        self.state["params"] = jnp.asarray(params)
-        if "optimizer" in blob:
-            template = self.optimizer.init_state()
-            self.state["opt"] = _tree_from_json(blob["optimizer"], template)
-
-
-def _tree_to_json(tree):
-    if isinstance(tree, dict):
-        return {k: _tree_to_json(v) for k, v in tree.items()}
-    if isinstance(tree, (list, tuple)):
-        return [_tree_to_json(v) for v in tree]
-    arr = np.asarray(tree)
-    return {
-        "__ndarray__": base64.b64encode(arr.tobytes()).decode("ascii"),
-        "dtype": str(arr.dtype),
-        "shape": list(arr.shape),
-    }
+            params = np.frombuffer(
+                base64.b64decode(blob["params_binary"]), dtype=dtype
+            ).astype(np.float32)
+            self.state["params"] = jnp.asarray(params)
+            if "optimizer" in blob:
+                template = self.optimizer.init_state()
+                self.state["opt"] = _tree_from_json(
+                    blob["optimizer"], template
+                )
+            return
+        interchange.deserialize_trainer(self, interchange.from_json_obj(blob))
 
 
 def _tree_from_json(blob, template):
+    """Legacy (tcnn_tpu r1) optimizer-state reader."""
     if isinstance(blob, dict) and "__ndarray__" in blob:
         arr = np.frombuffer(
             base64.b64decode(blob["__ndarray__"]), dtype=np.dtype(blob["dtype"])
