@@ -158,7 +158,9 @@ class Trainer:
         opt_state, new_params = self.optimizer.step(
             state["opt"], state["params"], grads, self.loss_scale
         )
-        return {"params": new_params, "opt": opt_state}
+        new_state = dict(state)  # keep e.g. the perturbation rng key
+        new_state.update(params=new_params, opt=opt_state)
+        return new_state
 
     # -- public API ------------------------------------------------------------
     def training_step_with_gradients(self, inputs, dL_doutput):
