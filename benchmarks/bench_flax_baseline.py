@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""External baseline for the image benchmark protocol — plain flax/optax.
+
+Plays the role of the reference's ``bench_tensorflow.py`` (the non-tcnn
+referee of /root/reference/benchmarks/image/bench_ours.cu:188-223): an
+independent TPU implementation of the same task — OneBlob-64 encoding +
+128x5 ReLU MLP, RelativeL2, Adam(1e-2, beta2 0.99) — built ONLY from
+flax/optax/jnp, sharing no code with tcnn_tpu. Batch sweep 2^14..2^21,
+training and inference elements/second, written to
+``bench_flax_result.json``.
+
+The TF baseline ran fp16 with loss scale 128 on GPU; the TPU-idiomatic
+equivalent used here is bfloat16 compute with fp32 params and no loss
+scale.
+
+Run ON TPU:  python benchmarks/bench_flax_baseline.py > _flax_bench.txt 2>&1
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+cache_dir = Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import flax.linen as nn  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+N_BINS = 64
+WIDTH = 128
+N_HIDDEN = 5
+RES = 512
+
+
+def oneblob(x, n_bins=N_BINS):
+    """OneBlob encoding — Gaussian-kernel CDF differences with wraparound
+    (the same simplified formulation the reference's TF baseline uses,
+    bench_tensorflow.py:88-141; independent of tcnn_tpu's quartic one)."""
+    from jax.scipy.stats import norm
+
+    sigma = 1.0 / n_bins
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+
+    def enc_dim(xd):
+        d = edges[None, :] - xd[:, None]  # (B, n_bins+1)
+        v = (
+            norm.cdf(d, scale=sigma)
+            + norm.cdf(d - 1.0, scale=sigma)
+            + norm.cdf(d + 1.0, scale=sigma)
+        )
+        return v[:, 1:] - v[:, :-1]  # (B, n_bins)
+
+    feats = [enc_dim(x[:, i]) for i in range(x.shape[1])]
+    return jnp.concatenate(feats, axis=1)
+
+
+class MLP(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        h = oneblob(x).astype(jnp.bfloat16)
+        for i in range(N_HIDDEN):
+            h = nn.Dense(WIDTH, use_bias=False, dtype=jnp.bfloat16)(h)
+            h = nn.relu(h)
+        out = nn.Dense(3, use_bias=False, dtype=jnp.bfloat16)(h)
+        return out
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, RES), np.linspace(0, 1, RES), indexing="ij"
+    )
+    image = np.stack(
+        [
+            0.5 + 0.5 * np.sin(8 * np.pi * xx) * np.cos(6 * np.pi * yy),
+            0.5 + 0.5 * np.cos(4 * np.pi * (xx + yy)),
+            0.5 + 0.5 * np.sin(2 * np.pi * xx * yy * 4),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    img_dev = jnp.asarray(image.reshape(-1, 3))
+
+    model = MLP()
+    tx = optax.adam(1e-2, b1=0.9, b2=0.99, eps=1e-8)
+
+    results = {"flax": []}
+    for log2_b in range(14, 22):
+        batch = 1 << log2_b
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((8, 2)))
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, key):
+            xy = jax.random.uniform(key, (batch, 2), jnp.float32)
+            ij = jnp.clip((xy * RES).astype(jnp.int32), 0, RES - 1)
+            target = img_dev.at[ij[:, 1] * RES + ij[:, 0]].get(
+                mode="promise_in_bounds"
+            )
+
+            def loss_fn(p):
+                pred = model.apply(p, xy).astype(jnp.float32)
+                denom = pred * pred + 0.01
+                return jnp.mean((pred - target) ** 2 / denom)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), new_opt, loss
+
+        @jax.jit
+        def infer(params, key):
+            xy = jax.random.uniform(key, (batch, 2), jnp.float32)
+            return model.apply(params, xy)
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 200)
+        n_warm, n_meas = 10, 50
+        for i in range(n_warm):
+            params, opt_state, loss = train_step(params, opt_state, keys[i])
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for i in range(n_meas):
+            params, opt_state, loss = train_step(
+                params, opt_state, keys[n_warm + i]
+            )
+        _ = float(loss)
+        train_tp = batch * n_meas / (time.perf_counter() - t0)
+
+        out = infer(params, keys[0])
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for i in range(n_meas):
+            out = infer(params, keys[i])
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+        infer_tp = batch * n_meas / (time.perf_counter() - t0)
+
+        print(
+            f"batch 2^{log2_b}: train {train_tp:.3e} elem/s, "
+            f"inference {infer_tp:.3e} elem/s, loss {float(loss):.3e}",
+            flush=True,
+        )
+        results["flax"].append(
+            {
+                "batch_size": batch,
+                "training_throughput": train_tp,
+                "inference_throughput": infer_tp,
+                "final_loss": float(loss),
+            }
+        )
+
+    out_path = Path(__file__).resolve().parent / "bench_flax_result.json"
+    out_path.write_text(json.dumps(results, indent=1) + "\n")
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

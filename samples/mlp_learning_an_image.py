@@ -86,6 +86,8 @@ def load_image(path: str) -> np.ndarray:
     img = np.asarray(img, np.float32)
     if img.max() > 1.5:
         img = img / 255.0
+    if img.ndim == 2:  # grayscale (e.g. the reference's albert.jpg)
+        img = np.repeat(img[..., None], 3, axis=-1)
     return img[..., :3]
 
 
@@ -97,7 +99,11 @@ def main():
 
     args = sys.argv[1:]
     image = load_image(args[0]) if args else synthetic_image()
-    config = json.loads(Path(args[1]).read_text()) if len(args) > 1 else DEFAULT_CONFIG
+    config = (
+        json.loads(Path(args[1]).read_text())
+        if len(args) > 1 and args[1] not in ("", "-")
+        else DEFAULT_CONFIG
+    )
     n_steps = int(args[2]) if len(args) > 2 else 1000
     batch = 2**18
 

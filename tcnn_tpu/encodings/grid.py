@@ -339,10 +339,22 @@ class GridEncoding(Encoding):
         return []
 
     def _scatter_mode(self, n_rows: int, size: int) -> str:
-        if self.scatter_strategy in ("xla", "factored", "factored_f32"):
+        if self.scatter_strategy in (
+            "xla", "xla_pib", "xla_half", "factored", "factored_f32",
+            "factored_kernel",
+        ):
             return self.scatter_strategy
-        if n_rows >= self.factored_min_rows and size <= self.factored_max_size:
-            return "factored"
+        if n_rows >= self.factored_min_rows:
+            if size <= self.factored_max_size:
+                return "factored"
+            if self.n_features_per_level >= 2:
+                # Large tables are past the factored-matmul crossover; the
+                # bf16 scatter emitter runs ~5x faster than f32 (22 vs
+                # 94-137 ns/row on v5e) and half-precision accumulation is
+                # the reference's own grad_t regime for F>=2
+                # (grid.h:660-671). F==1 grids keep exact f32, like the
+                # reference's fp32 fallback.
+                return "xla_half"
         return "xla"
 
     def _level_strides(self, lvl: int) -> Optional[List[int]]:

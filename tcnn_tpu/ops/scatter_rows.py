@@ -158,6 +158,133 @@ def scatter_rows_serial(
 
 
 # ---------------------------------------------------------------------------
+# Fused factored scatter (Pallas): strips built in VMEM, never in HBM
+# ---------------------------------------------------------------------------
+
+
+def _factored_kernel(idx_ref, rows_ref, out_ref, *, sub: int, n_sub: int,
+                     lo_width: int, hi_w: int, r_width: int, pair: bool):
+    """One grid step = one batch macro-tile. For each ``sub``-row chunk:
+    build the lo-masked strip (VPU) and the TRANSPOSED hi one-hot in VMEM,
+    then one (hi_w, sub) @ (sub, lo_width*R) MXU pass accumulated into the
+    f32 partial for this macro-tile. The XLA form of this op
+    (``scatter_rows_factored``) round-trips the (B, lo_width*R) strips
+    through HBM — the entire point of the kernel is that strips and
+    one-hots here are VMEM transients."""
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_w, sub), 0)
+    # 2D column iota: lane c of the strip belongs to lo digit c // R.
+    # (A 3D iota/where/reshape formulation crashes the Mosaic remote
+    # compiler — probe_fk_bisect.py; stay strictly 2D in-kernel.)
+    col_lo = (
+        jax.lax.broadcasted_iota(jnp.int32, (sub, lo_width * r_width), 1)
+        // r_width
+    )
+
+    def body(k, acc):
+        idx = idx_ref[0, k, :]  # (sub,)
+        rows = rows_ref[pl.ds(k * sub, sub), :]  # (sub, R) f32
+        hi = (idx // lo_width).reshape(1, sub)
+        lo = (idx % lo_width).reshape(sub, 1)
+        onehot_t = (iota_hi == hi).astype(jnp.bfloat16)  # (hi_w, sub)
+        tiled = pltpu.repeat(rows, lo_width, axis=1)  # (sub, lo*R) f32
+        strip32 = jnp.where(col_lo == lo, tiled, 0.0)
+        s_hi = strip32.astype(jnp.bfloat16)
+        acc = acc + jnp.dot(
+            onehot_t, s_hi, preferred_element_type=jnp.float32
+        )
+        if pair:
+            s_res = ((strip32 - s_hi.astype(jnp.float32)) * 256.0).astype(
+                jnp.bfloat16
+            )
+            acc = acc + (1.0 / 256.0) * jnp.dot(
+                onehot_t, s_res, preferred_element_type=jnp.float32
+            )
+        return acc
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, n_sub, body, jnp.zeros((hi_w, lo_width * r_width), jnp.float32)
+    )[None]
+
+
+def scatter_rows_factored_pallas(
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    size: int,
+    lo_width: int = 32,
+    pair: bool = True,
+    sub: int = 1024,
+    n_sub: int = 8,
+) -> jnp.ndarray:
+    """``scatter_rows_factored`` as ONE fused Pallas kernel.
+
+    Measured on v5e (B=2^18, S=2^15, R=8 — probe_fk_bisect/_probe_fk2):
+    NOT currently a win — 2.7 ms single-bf16 vs 2.78 ms for the XLA pair
+    form; the per-chunk VPU one-hot/strip construction serializes against
+    the MXU passes. Kept as an option + Mosaic canary. Compile envelope:
+    large grids are fine (32 steps compiles in seconds) but per-step
+    blocks beyond ~16 sub-chunks crash the remote compiler, as does any
+    3D iota/where/reshape in-kernel (stay strictly 2D).
+
+    Args:
+      idx: (B,) int32 level-local indices in [0, size).
+      rows: (B, R) f32 gradient rows.
+      size: table rows; padded up to a lo_width multiple.
+      pair: error-compensated bf16 operand pair (matches the XLA form's
+        default ~3e-6 relative error); False = single bf16 pass (the
+        reference's half-precision grid-gradient regime, half the FLOPs).
+      sub: rows per in-kernel sub-chunk (VMEM transient size).
+      n_sub: sub-chunks per grid step (keep <= 16 for Mosaic).
+
+    Returns (size, R) float32.
+    """
+    B, R = rows.shape
+    s_pad = cdiv(size, lo_width) * lo_width
+    hi_w = s_pad // lo_width
+
+    rows = rows.astype(jnp.float32)
+    group = sub * n_sub
+    padded_b = cdiv(B, group) * group
+    if padded_b != B:
+        # Zero rows contribute zero regardless of their (index-0) target.
+        idx = jnp.pad(idx, (0, padded_b - B))
+        rows = jnp.pad(rows, ((0, padded_b - B), (0, 0)))
+    grid_b = padded_b // group
+
+    idx3 = idx.astype(jnp.int32).reshape(grid_b, n_sub, sub)
+
+    partials = pl.pallas_call(
+        functools.partial(
+            _factored_kernel,
+            sub=sub,
+            n_sub=n_sub,
+            lo_width=lo_width,
+            hi_w=hi_w,
+            r_width=R,
+            pair=pair,
+        ),
+        grid=(grid_b,),
+        in_specs=[
+            pl.BlockSpec((1, n_sub, sub), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sub * sub, R), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hi_w, lo_width * R), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_b, hi_w, lo_width * R), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if pair else 1) * 2 * padded_b * hi_w * lo_width * R,
+            bytes_accessed=padded_b * R * 4 + grid_b * hi_w * lo_width * R * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(idx3, rows)
+    return partials.sum(axis=0).reshape(s_pad, R)[:size]
+
+
+# ---------------------------------------------------------------------------
 # Hierarchically factored one-hot scatter (pure XLA, MXU-dense)
 # ---------------------------------------------------------------------------
 
@@ -243,6 +370,10 @@ def _factored_scatter_of(scatter: str, size: int, r: int, out_dtype):
             dt = scatter_rows_factored(
                 flat_idx, flat_g, size, compute_dtype=jnp.float32
             )
+        elif scatter == "factored_kernel":
+            dt = scatter_rows_factored_pallas(
+                flat_idx, flat_g.astype(jnp.float32), size
+            )
         else:
             dt = scatter_rows_factored(flat_idx, flat_g, size)
         return dt.astype(out_dtype)
@@ -271,10 +402,48 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
         # the (deterministic) XLA scatter-add transpose.
         return table[idx]
     size, r = table.shape
-    ft = _factored_scatter_of(scatter, size, r, table.dtype)
+    out_dtype = table.dtype
+    if scatter == "xla_pib":
+        # Same emitter, but with bounds checks promised away on BOTH
+        # directions (indices are %-reduced by construction). The default
+        # transpose of a plain gather keeps XLA's checked scatter mode.
+        def ft(i, g):
+            return (
+                jnp.zeros((size, r), g.dtype)
+                .at[i.reshape(-1)]
+                .add(g.reshape(-1, r), mode="promise_in_bounds")
+            )
+    elif scatter == "drop":
+        # Diagnostic: no table gradient at all — isolates the scatter's
+        # share of a backward pass. NOT for training.
+        def ft(i, g):
+            return jnp.zeros((size, r), out_dtype)
+    elif scatter == "xla_half":
+        # Half-precision accumulation — the reference's grad_t=__half
+        # regime for F>=2 grids (reference: grid.h:660-671, atomic half2
+        # adds). On v5e the bf16 scatter emitter runs at a flat ~22 ns/row
+        # vs 94-137 ns/row for f32 (any row width 4..32 — probe 2026-08,
+        # PLAN.md): ~5x faster at NeRF-scale tables where the factored
+        # MXU form's B*S FLOPs are prohibitive.
+        def ft(i, g):
+            return (
+                jnp.zeros((size, r), jnp.bfloat16)
+                .at[i.reshape(-1)]
+                .add(
+                    g.reshape(-1, r).astype(jnp.bfloat16),
+                    mode="promise_in_bounds",
+                )
+            ).astype(out_dtype)
+    else:
+        ft = _factored_scatter_of(scatter, size, r, table.dtype)
     try:
         return jax.custom_derivatives.linear_call(
-            lambda i, t: t[i], lambda i, g: ft(i, g), idx, table
+            lambda i, t: t.at[i].get(mode="promise_in_bounds")
+            if scatter == "xla_pib"
+            else t[i],
+            lambda i, g: ft(i, g),
+            idx,
+            table,
         )
     except NotImplementedError:  # vmap: no batching rule for linear_call
         return table[idx]

@@ -220,20 +220,34 @@ class Trainer:
             return {"stratified": False}
         return {}
 
-    def inference(self, inputs) -> jnp.ndarray:
+    def inference(self, inputs, stratified: bool = False) -> jnp.ndarray:
         """Serving path: inference params, trimmed fp32 output
         (reference: object.h:214-271). Jitted and cached (re-traces only
         per input shape); the reference analogue is the CUDA-graph-free
-        inference fast path."""
-        if not hasattr(self, "_jit_inference"):
+        inference fast path.
+
+        Args:
+          stratified: opt-in for the grid's gather-free static path when
+            the batch satisfies the raster-tile contract (e.g. rendering a
+            full raster whose width equals the training strata). Default
+            False: serving batches are arbitrary layouts and use the
+            per-sample fallback.
+        """
+        jits = getattr(self, "_jit_inference_cache", None)
+        if jits is None:
+            jits = self._jit_inference_cache = {}
+        key = bool(stratified)
+        if key not in jits:
             kwargs = self._inference_kwargs()
+            if stratified and "stratified" in kwargs:
+                kwargs = {}
 
             def _infer(p, x):
                 out = self.model.apply(p, x, **kwargs)
                 return out[:, : self.model.n_output_dims].astype(jnp.float32)
 
-            self._jit_inference = jax.jit(_infer)
-        return self._jit_inference(self.inference_params(), inputs)
+            jits[key] = jax.jit(_infer)
+        return jits[key](self.inference_params(), inputs)
 
     # -- hyperparams ------------------------------------------------------------
     def update_hyperparams(self, params: Dict):
@@ -246,8 +260,8 @@ class Trainer:
         self._jit_train_step_pdf = jax.jit(
             self._train_step_with_pdf, donate_argnums=(0,)
         )
-        if hasattr(self, "_jit_inference"):
-            del self._jit_inference
+        if hasattr(self, "_jit_inference_cache"):
+            del self._jit_inference_cache
 
     # -- serialization (reference: trainer.h:442-482) -------------------------
     def serialize(self, serialize_optimizer: bool = False) -> Dict:

@@ -395,3 +395,38 @@ def test_trainer_inference_forces_fallback():
     np.testing.assert_allclose(
         out_sorted[np.asarray(perm)], out_shuffled, rtol=2e-2, atol=2e-3
     )
+
+
+def test_factored_kernel_scatter_in_grid():
+    """The fused Pallas factored scatter (scatter_strategy
+    'factored_kernel') matches the XLA scatter path through a full grid
+    gradient, and trains end-to-end."""
+    base = dict(
+        otype="HashGrid",
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+        hash="CoherentAdditive",
+        gather_strategy="quad",
+    )
+    a = tc.create_encoding(
+        2, {**base, "scatter_strategy": "factored_kernel"}, 16
+    )
+    b = tc.create_encoding(2, {**base, "scatter_strategy": "xla"}, 16)
+    a.output_dtype = jnp.float32
+    b.output_dtype = jnp.float32
+    params = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.n_params).astype(np.float32)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (512, 2)), jnp.float32
+    )
+
+    def loss(enc):
+        return lambda p: (enc.apply(p, x) ** 2).sum()
+
+    ga = np.asarray(jax.grad(loss(a))(params))
+    gb = np.asarray(jax.grad(loss(b))(params))
+    np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-3)
