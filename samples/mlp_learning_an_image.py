@@ -134,14 +134,17 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(42), n_steps)
     state = trainer.state
+    loss_curve = []
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = step(state, keys[i], image_dev)
         if i % 100 == 0 or i == n_steps - 1:
             loss = float(loss)
+            loss_curve.append([i, loss])
             elapsed = time.perf_counter() - t0
             print(f"step {i:5d}  loss {loss:.3e}  "
                   f"[{elapsed:.2f}s, {batch*(i+1)/max(elapsed,1e-9):.3g} samples/s]")
+    train_time = time.perf_counter() - t0
     trainer.state = state
 
     # Render the learned image and report PSNR.
@@ -159,8 +162,23 @@ def main():
     psnr = -10 * np.log10(mse) if mse > 0 else float("inf")
     print(f"PSNR: {psnr:.2f} dB")
 
-    np.save("fitted_image.npy", pred)
-    print("wrote fitted_image.npy")
+    if len(args) > 3:
+        # Optional output dir: golden artifacts (fitted image + metrics
+        # incl. the loss curve for convergence-parity comparisons).
+        out_dir = Path(args[3])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        np.save(out_dir / "fitted_image.npy", pred)
+        (out_dir / "metrics.json").write_text(json.dumps({
+            "image": args[0] if args else "synthetic",
+            "steps": n_steps,
+            "batch": batch,
+            "train_seconds": round(train_time, 3),
+            "ms_per_step": round(train_time / n_steps * 1e3, 3),
+            "psnr_db": round(psnr, 3),
+            "mse": mse,
+            "loss_curve": loss_curve,
+        }, indent=1) + "\n")
+        print(f"wrote {out_dir}/fitted_image.npy, metrics.json")
 
 
 if __name__ == "__main__":
