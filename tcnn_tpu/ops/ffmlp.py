@@ -45,6 +45,15 @@ DEFAULT_TILE_B = 4096
 # understood. Flip per call with pack=True.
 DEFAULT_PACK = False
 
+# Kernel-internal lane packing (see _kernel_pack_*): packs G = 128/width
+# tile-slabs along the lane axis INSIDE the kernel, with block-diagonal
+# weights built in VMEM — no XLA-level relayout of narrow bf16 arrays (the
+# composed regression above) and no in-kernel reshape (the Mosaic crash);
+# slab packing is pure lane-concat of disjoint row blocks. Streams tile/G
+# rows per MXU pass at full 128-lane width: ideal speedup G x for
+# row-rate-bound narrow matmuls. Default set by measurement (PLAN.md).
+DEFAULT_KPACK = False
+
 
 def _lane_packing(weights_t: Sequence[jnp.ndarray]) -> int:
     """Samples packed per 128-lane row for narrow MLPs.
@@ -94,18 +103,66 @@ def _unpack_dw(dw, G):
     return sum(t[g, :, g, :] for g in range(G))
 
 
+def _kernel_pack_slabs(h, G):
+    """(T, c) -> (T/G, G*c): lane-concat G disjoint row slabs. Slab k holds
+    rows [k*T/G, (k+1)*T/G) in lane block k — no sublane interleaving, so
+    Mosaic lowers it to plain vreg lane concatenation."""
+    T = h.shape[0]
+    s = T // G
+    return jnp.concatenate([h[k * s : (k + 1) * s] for k in range(G)], axis=1)
+
+
+def _kernel_unpack_slabs(h, G):
+    """Inverse of _kernel_pack_slabs: (T/G, G*c) -> (T, c)."""
+    c = h.shape[1] // G
+    return jnp.concatenate(
+        [h[:, k * c : (k + 1) * c] for k in range(G)], axis=0
+    )
+
+
+def _kernel_block_diag(w, G):
+    """(a, b) -> (G*a, G*b) block-diagonal, built with static lane/sublane
+    concats in VMEM (loop-invariant: Mosaic hoists it out of the grid)."""
+    a, b = w.shape
+    z = jnp.zeros((a, b), w.dtype)
+    rows = []
+    for k in range(G):
+        rows.append(
+            jnp.concatenate(
+                [w if j == k else z for j in range(G)], axis=1
+            )
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
+def _kernel_diag_sum(dw, G):
+    """(G*a, G*b) -> (a, b): sum of the diagonal blocks (each sees one
+    tile slab of the batch)."""
+    a, b = dw.shape[0] // G, dw.shape[1] // G
+    acc = dw[:a, :b]
+    for k in range(1, G):
+        acc = acc + dw[k * a : (k + 1) * a, k * b : (k + 1) * b]
+    return acc
+
+
 def _mlp_kernel(x_ref, *refs, activation: Activation, output_activation: Activation,
-                n_layers: int, out_dtype):
+                n_layers: int, out_dtype, kpack: int = 1):
     """One batch tile through the whole MLP. refs = (w0, ..., wn-1, out)."""
     w_refs = refs[:n_layers]
     out_ref = refs[n_layers]
     h = x_ref[...]
+    if kpack > 1:
+        h = _kernel_pack_slabs(h, kpack)
     for i in range(n_layers):
         w = w_refs[i][...]
+        if kpack > 1:
+            w = _kernel_block_diag(w, kpack)
         acc = jnp.dot(h, w, preferred_element_type=jnp.float32)
         act = output_activation if i == n_layers - 1 else activation
         acc = activation_fn(acc, act)
         h = acc.astype(out_dtype if i == n_layers - 1 else h.dtype)
+    if kpack > 1:
+        h = _kernel_unpack_slabs(h, kpack)
     out_ref[...] = h
 
 
@@ -116,6 +173,7 @@ def mlp_forward_pallas(
     output_activation: Activation,
     tile_b: int = DEFAULT_TILE_B,
     pack: bool = DEFAULT_PACK,
+    kpack: bool | None = None,
 ) -> jnp.ndarray:
     """Run the fused forward pass.
 
@@ -124,7 +182,9 @@ def mlp_forward_pallas(
       weights_t: transposed weights [(in, w), (w, w)..., (w, out_p)] in the
         compute dtype — i.e. ``W_i^T`` of the stored row-major matrices so the
         kernel computes ``h @ W^T`` as plain ``h @ w``.
-      pack: lane-pack narrow widths (see ``_lane_packing``).
+      pack: lane-pack narrow widths at the XLA level (see ``_lane_packing``).
+      kpack: lane-pack tile slabs INSIDE the kernel (no XLA relayout);
+        None = DEFAULT_KPACK. Ignored when ``pack`` already packed.
     """
     orig_batch = x.shape[0]
     G = _lane_packing(weights_t) if pack else 1
@@ -135,6 +195,10 @@ def mlp_forward_pallas(
     out_width = weights_t[-1].shape[1]
     n_layers = len(weights_t)
     dtype = x.dtype
+
+    kp = 1
+    if G == 1 and (DEFAULT_KPACK if kpack is None else kpack):
+        kp = _lane_packing(weights_t)
 
     tile_b = min(tile_b, max(128, cdiv(batch, 1)))
     padded_batch = cdiv(batch, tile_b) * tile_b
@@ -148,6 +212,7 @@ def mlp_forward_pallas(
         output_activation=output_activation,
         n_layers=n_layers,
         out_dtype=dtype,
+        kpack=kp,
     )
 
     in_specs = [
@@ -201,7 +266,8 @@ def _act_vjp(g, z, act: Activation):
 
 
 def _mlp_bwd_kernel(x_ref, g_ref, *refs, activation: Activation,
-                    output_activation: Activation, n_layers: int, in_dtype):
+                    output_activation: Activation, n_layers: int, in_dtype,
+                    kpack: int = 1):
     """One batch tile: recompute the forward in VMEM, walk the layers in
     reverse, emit dx for the tile and per-tile dW partials. Nothing
     activation-sized ever touches HBM — the TPU analogue of the reference's
@@ -210,31 +276,41 @@ def _mlp_bwd_kernel(x_ref, g_ref, *refs, activation: Activation,
     dx_ref = refs[n_layers]
     dw_refs = refs[n_layers + 1 : 2 * n_layers + 1]
 
+    ws = [w_refs[i][...] for i in range(n_layers)]
+    if kpack > 1:
+        ws = [_kernel_block_diag(w, kpack) for w in ws]
+
     # Forward recompute, keeping pre-activations (fp32) for the act-vjp.
-    hs = [x_ref[...]]
+    x = x_ref[...]
+    if kpack > 1:
+        x = _kernel_pack_slabs(x, kpack)
+    hs = [x]
     pres = []
     h = hs[0]
     for i in range(n_layers):
-        z = jnp.dot(h, w_refs[i][...], preferred_element_type=jnp.float32)
+        z = jnp.dot(h, ws[i], preferred_element_type=jnp.float32)
         pres.append(z)
         act = output_activation if i == n_layers - 1 else activation
         if i < n_layers - 1:
             h = activation_fn(z, act).astype(in_dtype)
             hs.append(h)
 
-    delta = _act_vjp(g_ref[...].astype(jnp.float32), pres[-1],
-                     output_activation)
+    g = g_ref[...].astype(jnp.float32)
+    if kpack > 1:
+        g = _kernel_pack_slabs(g, kpack)
+    delta = _act_vjp(g, pres[-1], output_activation)
     for i in range(n_layers - 1, -1, -1):
         d16 = delta.astype(in_dtype)
         # dW_i = h_i^T @ delta_i — M=N=width, K=tile: MXU-shaped.
-        dw_refs[i][...] = jnp.dot(
-            hs[i].T, d16, preferred_element_type=jnp.float32
-        )[None]
-        dh = jnp.dot(
-            d16, w_refs[i][...].T, preferred_element_type=jnp.float32
-        )
+        dw = jnp.dot(hs[i].T, d16, preferred_element_type=jnp.float32)
+        if kpack > 1:
+            dw = _kernel_diag_sum(dw, kpack)
+        dw_refs[i][...] = dw[None]
+        dh = jnp.dot(d16, ws[i].T, preferred_element_type=jnp.float32)
         if i > 0:
             delta = _act_vjp(dh, pres[i - 1], activation)
+    if kpack > 1:
+        dh = _kernel_unpack_slabs(dh, kpack)
     dx_ref[...] = dh.astype(in_dtype)
 
 
@@ -246,6 +322,7 @@ def mlp_backward_pallas(
     output_activation: Activation,
     tile_b: int = DEFAULT_TILE_B,
     pack: bool = DEFAULT_PACK,
+    kpack: bool | None = None,
 ):
     """Fused-recompute backward: returns (dx, [dW...]) with dW in the same
     transposed (in, out) layout as ``weights_t``. HBM traffic is x + g +
@@ -261,6 +338,10 @@ def mlp_backward_pallas(
     n_layers = len(weights_t)
     dtype = x.dtype
 
+    kp = 1
+    if G == 1 and (DEFAULT_KPACK if kpack is None else kpack):
+        kp = _lane_packing(weights_t)
+
     tile_b = min(tile_b, max(128, batch))
     padded_batch = cdiv(batch, tile_b) * tile_b
     if padded_batch != batch:
@@ -274,6 +355,7 @@ def mlp_backward_pallas(
         output_activation=output_activation,
         n_layers=n_layers,
         in_dtype=dtype,
+        kpack=kp,
     )
     in_specs = [
         pl.BlockSpec((tile_b, in_width), lambda i: (i, 0),

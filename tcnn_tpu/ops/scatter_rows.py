@@ -418,6 +418,32 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
         # share of a backward pass. NOT for training.
         def ft(i, g):
             return jnp.zeros((size, r), out_dtype)
+    elif scatter == "xla_f32_b":
+        # f32 emitter with an optimization_barrier forcing the gradient
+        # rows and indices to MATERIALIZE before the scatter: without it
+        # XLA fuses their computation into the scatter loop body, which
+        # the TPU emitter evaluates per-row, serially (diagnostic mode —
+        # measures the fusion-inside-scatter penalty).
+        def ft(i, g):
+            i2, rows = jax.lax.optimization_barrier(
+                (i.reshape(-1), g.reshape(-1, r))
+            )
+            return (
+                jnp.zeros((size, r), g.dtype)
+                .at[i2]
+                .add(rows, mode="promise_in_bounds")
+            )
+    elif scatter == "xla_half_b":
+        # xla_half with the same pre-scatter materialization barrier.
+        def ft(i, g):
+            i2, rows = jax.lax.optimization_barrier(
+                (i.reshape(-1), g.reshape(-1, r).astype(jnp.bfloat16))
+            )
+            return (
+                jnp.zeros((size, r), jnp.bfloat16)
+                .at[i2]
+                .add(rows, mode="promise_in_bounds")
+            ).astype(out_dtype)
     elif scatter == "xla_half":
         # Half-precision accumulation — the reference's grad_t=__half
         # regime for F>=2 grids (reference: grid.h:660-671, atomic half2
