@@ -342,6 +342,7 @@ class GridEncoding(Encoding):
         if self.scatter_strategy in (
             "xla", "xla_pib", "xla_half", "factored", "factored_f32",
             "factored_kernel", "drop", "xla_f32_b", "xla_half_b",
+            "xla_half_ob", "xla_half_bb",
         ):
             return self.scatter_strategy
         if n_rows >= self.factored_min_rows:

@@ -444,6 +444,32 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
                 .at[i2]
                 .add(rows, mode="promise_in_bounds")
             ).astype(out_dtype)
+    elif scatter == "xla_half_ob":
+        # xla_half with an OUTPUT-side barrier: keeps the f32 cast of the
+        # result from being fused back into the scatter (which would turn
+        # the fast bf16 emitter into an f32-accumulating scatter again).
+        def ft(i, g):
+            out = (
+                jnp.zeros((size, r), jnp.bfloat16)
+                .at[i.reshape(-1)]
+                .add(
+                    g.reshape(-1, r).astype(jnp.bfloat16),
+                    mode="promise_in_bounds",
+                )
+            )
+            return jax.lax.optimization_barrier(out).astype(out_dtype)
+    elif scatter == "xla_half_bb":
+        # Barriers on BOTH sides of the bf16 scatter (diagnostic).
+        def ft(i, g):
+            i2, rows = jax.lax.optimization_barrier(
+                (i.reshape(-1), g.reshape(-1, r).astype(jnp.bfloat16))
+            )
+            out = (
+                jnp.zeros((size, r), jnp.bfloat16)
+                .at[i2]
+                .add(rows, mode="promise_in_bounds")
+            )
+            return jax.lax.optimization_barrier(out).astype(out_dtype)
     elif scatter == "xla_half":
         # Half-precision accumulation — the reference's grad_t=__half
         # regime for F>=2 grids (reference: grid.h:660-671, atomic half2

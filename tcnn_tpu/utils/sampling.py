@@ -28,6 +28,7 @@ def stratified_uniform(
     n: int,
     dims: int = 2,
     dtype=jnp.float32,
+    run_correlated: bool = False,
 ) -> jnp.ndarray:
     """One jittered uniform sample per raster tile; raster-ordered.
 
@@ -36,6 +37,14 @@ def stratified_uniform(
       n: batch size; must be a perfect ``dims``-th power (e.g. 2^18 = 512^2
         for dims=2).
       dims: dimensionality of the unit cube.
+      run_correlated: share the jitter of dims >= 1 across each dim-0 run
+        (the ``strata`` consecutive samples that sweep dim 0). Per-sample
+        marginals are unchanged (each sample is still uniform on its tile)
+        and the stratified raster contract still holds; only the joint
+        within a run differs. Structurally, a run then has ONE grid row
+        per non-fastest dim at every grid level, which confines the run's
+        raster-hashed table accesses to one contiguous window — the
+        contract of the grid's windowed fine-level path (PLAN.md).
 
     Returns:
       (n, dims) positions in [0, 1); sample ``j`` lies in tile
@@ -48,7 +57,16 @@ def stratified_uniform(
         raise ValueError(
             f"stratified_uniform: n={n} is not a perfect {dims}-th power"
         )
-    jitter = jax.random.uniform(key, (n, dims), dtype)
+    if run_correlated and dims > 1:
+        k0, k1 = jax.random.split(key)
+        j0 = jax.random.uniform(k0, (n, 1), dtype)
+        jr = jax.random.uniform(k1, (n // strata, 1, dims - 1), dtype)
+        jr = jnp.broadcast_to(jr, (n // strata, strata, dims - 1))
+        jitter = jnp.concatenate(
+            [j0, jr.reshape(n, dims - 1)], axis=1
+        )
+    else:
+        jitter = jax.random.uniform(key, (n, dims), dtype)
     ids = jnp.arange(n, dtype=jnp.int32)
     base = []
     for d in range(dims):
