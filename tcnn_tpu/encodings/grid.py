@@ -225,6 +225,15 @@ class GridEncoding(Encoding):
         # quad lookup (dense transpose-matmul backward instead of a serial
         # scatter). Measured neutral on v5e at 2048 — off by default.
         self.onehot_threshold = 0
+        # Lane-packed quad tables ("auto" | "off"): store K = 128/(2^d*F)
+        # cells per physical row so the quad table's minor dim is exactly
+        # the TPU lane width. The unpacked (size, 2^d*F) form pads every
+        # row to 128 lanes (8x for 16-wide rows) and its backward's roll
+        # adjoints materialize (size, F)-narrow arrays in a 64x-padded
+        # layout — measured 37 GB of traffic per flagship-3D step vs ~3 GB
+        # packed (PLAN.md round 2). Packing is exact (same gathers, same
+        # scatter mode) and cuts the composed per-level backward ~40%.
+        self.quad_pack = "auto"
         # Table-gradient reduction: "auto" picks the hierarchically
         # factored one-hot MXU scatter (ops/scatter_rows.py) for large
         # batches on per-level tables, XLA's scatter emitter otherwise;
@@ -391,6 +400,40 @@ class GridEncoding(Encoding):
             delta %= size
             cols.append(jnp.roll(sl, -delta, axis=0) if delta else sl)
         return jnp.concatenate(cols, axis=1)
+
+    def _pack_k(self) -> int:
+        """Cells per packed row: 128 / (2^d * F), or 0 when not packable."""
+        slot = (2 ** self.n_dims_to_encode) * self.n_features_per_level
+        if slot > 128 or 128 % slot:
+            return 0
+        return 128 // slot
+
+    def _quad_table_packed(self, params, lvl: int):
+        """Corner-major lane-packed quad table: (size/K, 128), where lanes
+        [c*K*F : (c+1)*K*F) of row i hold K consecutive cells' F features
+        for corner c — ``Q[i, c*K*F + k*F + f] = sl[K*i + k + delta_c, f]``.
+
+        Built as a lane-concat of reshaped FLAT rolls of the level's
+        parameter slice: every intermediate is 1D or has a 128-multiple
+        minor dim, so all layouts are compact (the whole point; see the
+        ``quad_pack`` comment in __init__). The gather then fetches row
+        ``idx // K`` and selects cell ``idx % K`` per corner block.
+        """
+        F = self.n_features_per_level
+        K = self._pack_k()
+        size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+        off = int(self.offset_table[lvl])
+        flat = params[F * off : F * (off + size)]
+        strides = self._level_strides(lvl)
+        rolls = []
+        for cbits in self._corners:
+            delta = 0
+            for dim, bit in enumerate(cbits):
+                delta += int(bit) * strides[dim]
+            delta = (delta % size) * F
+            r = jnp.roll(flat, -delta) if delta else flat
+            rolls.append(r.reshape(size // K, K * F))
+        return jnp.concatenate(rolls, axis=1)  # (size/K, 128)
 
     def _stratified_feats(self, table, lvl: int, strata: int, bits):
         """Gather-free corner features for one coarse level of a stratified
@@ -782,22 +825,43 @@ class GridEncoding(Encoding):
                     size = int(
                         self.offset_table[lvl + 1] - self.offset_table[lvl]
                     )
-                    quad = self._quad_table(table, lvl)  # (size, C*F)
-                    if size <= self.onehot_threshold:
-                        # Tiny level: route the lookup through the MXU as a
-                        # one-hot matmul — the VJP becomes a dense transpose
-                        # matmul instead of a serial scatter-add.
-                        onehot = jax.nn.one_hot(idx, size, dtype=quad.dtype)
-                        feats = jnp.dot(
-                            onehot, quad, preferred_element_type=jnp.float32
-                        ).astype(quad.dtype)
-                    elif self.index_mode is None:
-                        feats = gather_rows(
-                            quad, idx, self._scatter_mode(idx.shape[0], size)
-                        )
+                    mode = self._scatter_mode(idx.shape[0], size)
+                    K = self._pack_k()
+                    packed = (
+                        self.quad_pack != "off"
+                        and K >= 2
+                        and size % K == 0
+                        and size > self.onehot_threshold
+                        and self.index_mode is None
+                        and mode.startswith("xla")
+                    )
+                    if packed:
+                        # Lane-packed quad lookup (see _quad_table_packed):
+                        # gather the (B, 128) packed row, select cell
+                        # idx % K per corner block elementwise. Exact — the
+                        # same rows/weights as the unpacked path.
+                        qp = self._quad_table_packed(params, lvl)
+                        g = gather_rows(qp, idx // K, mode)  # (B, 128)
+                        g = g.reshape(batch, n_corners, K, F)
+                        sel = jax.nn.one_hot(idx % K, K, dtype=g.dtype)
+                        feats = jnp.sum(g * sel[:, None, :, None], axis=2)
                     else:
-                        feats = quad.at[idx].get(mode=self.index_mode)
-                    feats = feats.reshape(batch, n_corners, F)
+                        quad = self._quad_table(table, lvl)  # (size, C*F)
+                        if size <= self.onehot_threshold:
+                            # Tiny level: route the lookup through the MXU
+                            # as a one-hot matmul — the VJP becomes a dense
+                            # transpose matmul instead of a serial
+                            # scatter-add.
+                            onehot = jax.nn.one_hot(idx, size, dtype=quad.dtype)
+                            feats = jnp.dot(
+                                onehot, quad,
+                                preferred_element_type=jnp.float32,
+                            ).astype(quad.dtype)
+                        elif self.index_mode is None:
+                            feats = gather_rows(quad, idx, mode)
+                        else:
+                            feats = quad.at[idx].get(mode=self.index_mode)
+                        feats = feats.reshape(batch, n_corners, F)
                 else:
                     # Per-level vertex gather, rebased to the level's table
                     # slice so the factored MXU scatter can take the VJP
@@ -853,6 +917,7 @@ class GridEncoding(Encoding):
             "hash": self.hash_type.value,
             "gather_strategy": self.gather_strategy,
             "scatter_strategy": self.scatter_strategy,
+            "quad_pack": self.quad_pack,
         }
         if self.raster_max_scale is not None:
             hp["stratified_max_variants"] = self.stratified_max_variants
@@ -921,6 +986,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     # "quad" | "stratified"); see PLAN.md.
     enc.gather_strategy = json_value(encoding, "gather_strategy", "per_level")
     enc.scatter_strategy = json_value(encoding, "scatter_strategy", "auto")
+    enc.quad_pack = json_value(encoding, "quad_pack", "auto")
     if enc.gather_strategy == "stratified":
         # The stratified fast path's static tile->cell maps require raster
         # index strides on its levels; which levels those are is part of

@@ -1,0 +1,121 @@
+"""Lane-packed quad tables (quad_pack="auto"): exact re-layout of the quad
+path — same rows, same weights, same scatter mode — so features and
+gradients must match the unpacked path to float-roundoff.
+
+The packing exists for TPU layout reasons (PLAN.md round 2: the unpacked
+(size, 2^d*F) quad table pads every row to 128 lanes and its roll adjoints
+materialize 64x-padded narrow arrays — 37 GB/step at 3D NeRF scale)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tcnn_tpu as tc
+
+
+def _enc(n_dims, quad_pack, **extra):
+    cfg = dict(
+        otype="HashGrid",
+        n_levels=8,
+        n_features_per_level=2,
+        log2_hashmap_size=12,
+        base_resolution=4,
+        per_level_scale=1.8,
+        hash="CoherentAdditive",
+        gather_strategy="quad",
+        quad_pack=quad_pack,
+    )
+    cfg.update(extra)
+    e = tc.create_encoding(n_dims, cfg, 16)
+    e.output_dtype = jnp.float32
+    return e
+
+
+@pytest.mark.parametrize("n_dims", [2, 3])
+def test_packed_matches_unpacked(n_dims):
+    a = _enc(n_dims, "off")
+    b = _enc(n_dims, "auto")
+    r = np.random.default_rng(0)
+    params = jnp.asarray(r.standard_normal(a.n_params).astype(np.float32))
+    x = jnp.asarray(r.uniform(0, 1, (128, n_dims)), jnp.float32)
+    ya = np.asarray(jax.jit(a.apply)(params, x))
+    yb = np.asarray(jax.jit(b.apply)(params, x))
+    # The packed path gathers bitwise-identical rows (relayout only, covered
+    # by the isolation check below); the composed program may still differ
+    # by 1 ulp from different FMA contraction in XLA's fusions.
+    np.testing.assert_allclose(ya, yb, rtol=2e-6, atol=2e-6)
+    # Isolation: the packed table IS the quad table, bitwise.
+    table = params.reshape(-1, a.n_features_per_level)
+    for lvl in range(a.n_levels):
+        K = a._pack_k()
+        size = int(a.offset_table[lvl + 1] - a.offset_table[lvl])
+        if K < 2 or size % K:
+            continue
+        q = np.asarray(a._quad_table(table, lvl))
+        qp = np.asarray(a._quad_table_packed(params, lvl))
+        C = 2**n_dims
+        F = a.n_features_per_level
+        qre = np.transpose(
+            qp.reshape(size // K, C, K, F), (0, 2, 1, 3)
+        ).reshape(size, C * F)
+        np.testing.assert_array_equal(qre, q)
+
+
+@pytest.mark.parametrize("n_dims", [2, 3])
+def test_packed_gradients_match(n_dims):
+    a = _enc(n_dims, "off")
+    b = _enc(n_dims, "auto")
+    r = np.random.default_rng(1)
+    params = jnp.asarray(r.standard_normal(a.n_params).astype(np.float32))
+    x = jnp.asarray(r.uniform(0, 1, (128, n_dims)), jnp.float32)
+
+    def loss(e):
+        return lambda p: (e.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+    ga = np.asarray(jax.jit(jax.grad(loss(a)))(params))
+    gb = np.asarray(jax.jit(jax.grad(loss(b)))(params))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_second_order():
+    # Eikonal-style grad-of-grad through the packed path (VERDICT r1 #3:
+    # second-order must work on every execution path).
+    e = _enc(3, "auto", interpolation="Smoothstep")
+    r = np.random.default_rng(2)
+    params = jnp.asarray(r.standard_normal(e.n_params).astype(np.float32))
+    x = jnp.asarray(r.uniform(0.1, 0.9, (32, 3)), jnp.float32)
+
+    def sdf(p, pts):
+        return e.apply(p, pts[None, :]).astype(jnp.float32).sum()
+
+    def eik(p):
+        g = jax.vmap(jax.grad(sdf, argnums=1), in_axes=(None, 0))(p, x)
+        return ((jnp.linalg.norm(g, axis=-1) - 1) ** 2).mean()
+
+    gg = jax.jit(jax.grad(eik))(params)
+    assert np.isfinite(np.asarray(gg)).all()
+    assert float(jnp.abs(gg).max()) > 0
+
+
+def test_packed_skips_nondivisible_levels():
+    # base_resolution=7 gives a 56-row dense level (8-aligned, not
+    # 16-aligned for d=2/F=2 -> K=16); the packed gate must fall back
+    # per-level without changing results.
+    a = _enc(2, "off", base_resolution=7, n_levels=6)
+    b = _enc(2, "auto", base_resolution=7, n_levels=6)
+    r = np.random.default_rng(3)
+    params = jnp.asarray(r.standard_normal(a.n_params).astype(np.float32))
+    x = jnp.asarray(r.uniform(0, 1, (64, 2)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(a.apply)(params, x)),
+        np.asarray(jax.jit(b.apply)(params, x)),
+    )
+
+
+def test_packed_hyperparam_roundtrip():
+    e = _enc(2, "auto")
+    hp = e.hyperparams()
+    assert hp["quad_pack"] == "auto"
+    e2 = tc.create_encoding(2, hp, 16)
+    assert e2.quad_pack == "auto"
