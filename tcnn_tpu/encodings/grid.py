@@ -904,6 +904,52 @@ class GridEncoding(Encoding):
         y = y.reshape(batch, L * F)
         return self._pad(y)
 
+    def apply_raster(self, params, side: int, max_level: Optional[float] = None):
+        """Encode the ``side^d`` tile-center raster (serving layout:
+        ``utils.sampling.raster_centers`` — sample j at the center of
+        raster tile j, dim 0 fastest).
+
+        Tile centers satisfy the raster-tile contract by construction, so
+        a ``gather_strategy="stratified"`` encoding routes through the
+        gather-free static coarse-level path (``stratified=True``) — the
+        fastest known serving form (PLAN.md: 11.6 vs 16.0 ms encoding at
+        B=2^18 flagship). Other strategies use the per-sample fallback:
+        their coarse levels hash with plain additive factors rather than
+        raster strides (``raster_max_scale`` is part of the encoding
+        function), so the static unfold machinery does not apply to them.
+
+        A static-index window-gather design (per-run contiguous packed-row
+        windows + one-hot MXU select) was built and measured here first:
+        neutral-to-worse at every level count (10.4 vs 7.6 ms at L11,
+        15.4 vs 11.6 at L16 against the stratified path; 87 vs 50 ms on
+        the 3D NeRF config where windows approach the whole table) — the
+        XLA gather emitter charges ~the same per row for static contiguous
+        windows as for random rows, and the select einsum eats the rest.
+        See PLAN.md round 2 for the numbers; the design was deliberately
+        dropped.
+
+        The reference has no analogue (its inference re-runs the training
+        kernels, reference: samples/mlp_learning_an_image.cu:116-124).
+        """
+        from ..utils.sampling import raster_centers
+
+        x = jnp.asarray(raster_centers(int(side), self.n_dims_to_encode))
+        batch = x.shape[0]
+        if (
+            self.gather_strategy == "stratified"
+            and self.raster_max_scale is not None
+            and not self.fixed_point_pos
+            and not self.stochastic_interpolation
+            and self.n_dims_to_encode in (2, 3)
+            and self.interpolation_type
+            in (InterpolationType.Linear, InterpolationType.Smoothstep)
+            and round(batch ** (1.0 / self.n_dims_to_encode))
+            ** self.n_dims_to_encode
+            == batch
+        ):
+            return self.apply(params, x, max_level=max_level, stratified=True)
+        return self.apply(params, x, max_level=max_level, stratified=False)
+
     def hyperparams(self):
         hp = {
             "otype": self.otype,

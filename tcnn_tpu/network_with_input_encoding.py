@@ -95,6 +95,15 @@ class NetworkWithInputEncoding:
         encoded = self.encoding.apply(enc_params, x, **encoding_kwargs)
         return self.network.apply(net_params, encoded)
 
+    def apply_raster(self, params, side: int, **encoding_kwargs):
+        """Forward over the ``side^d`` tile-center raster using the
+        encoding's static-index serving fast path (see
+        ``GridEncoding.apply_raster``); the network runs unchanged on the
+        encoded features."""
+        net_params, enc_params = self._split(params)
+        encoded = self.encoding.apply_raster(enc_params, side, **encoding_kwargs)
+        return self.network.apply(net_params, encoded)
+
     def __call__(self, params, x):
         return self.apply(params, x)
 

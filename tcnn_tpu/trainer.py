@@ -249,6 +249,43 @@ class Trainer:
             jits[key] = jax.jit(_infer)
         return jits[key](self.inference_params(), inputs)
 
+    def inference_raster(self, side: int) -> jnp.ndarray:
+        """Serving fast path for full-raster evaluation: inference params,
+        trimmed fp32 output of shape ``(side^d, n_output_dims)`` in raster
+        order (dim 0 fastest — ``utils.sampling.raster_centers``). Routes
+        through the model's ``apply_raster`` (static-index grid lookups, no
+        per-sample random access) when available; positions never leave the
+        device-side trace. Jitted and cached per ``side``."""
+        side = int(side)
+        jits = getattr(self, "_jit_raster_cache", None)
+        if jits is None:
+            jits = self._jit_raster_cache = {}
+        if side not in jits:
+            if hasattr(self.model, "apply_raster"):
+
+                def _infer(p):
+                    out = self.model.apply_raster(p, side)
+                    return out[:, : self.model.n_output_dims].astype(
+                        jnp.float32
+                    )
+
+            else:
+                from .utils.sampling import raster_centers
+
+                # numpy constant (embedded in the trace; closing over a
+                # device array would fetch it to host at lowering).
+                x = raster_centers(side, self.model.n_input_dims)
+                kwargs = self._inference_kwargs()
+
+                def _infer(p):
+                    out = self.model.apply(p, x, **kwargs)
+                    return out[:, : self.model.n_output_dims].astype(
+                        jnp.float32
+                    )
+
+            jits[side] = jax.jit(_infer)
+        return jits[side](self.inference_params())
+
     # -- hyperparams ------------------------------------------------------------
     def update_hyperparams(self, params: Dict):
         self.optimizer.update_hyperparams(params.get("optimizer", {}))

@@ -75,6 +75,26 @@ def stratified_uniform(
     return (base + jitter) / strata
 
 
+def raster_centers(side: int, dims: int = 2):
+    """Tile-center raster positions, (side^dims, dims) float32 numpy.
+
+    Sample ``j`` is the CENTER of raster tile ``j`` (dim 0 fastest, like
+    ``stratified_uniform``) — the jitter-free serving layout consumed by
+    ``GridEncoding.apply_raster``, whose static-index fast path derives
+    every table row at trace time from exactly these positions.
+    """
+    import numpy as np
+
+    ids = np.arange(side**dims, dtype=np.int64)
+    cols = []
+    for d in range(dims):
+        base = (ids // side**d) % side
+        cols.append(
+            (base.astype(np.float32) + np.float32(0.5)) / np.float32(side)
+        )
+    return np.stack(cols, axis=1)
+
+
 def strata_of(n: int, dims: int = 2) -> Optional[int]:
     """The per-dim strata count if ``n`` is a perfect power, else None."""
     strata = round(n ** (1.0 / dims))
