@@ -349,9 +349,9 @@ class GridEncoding(Encoding):
 
     def _scatter_mode(self, n_rows: int, size: int) -> str:
         if self.scatter_strategy in (
-            "xla", "xla_pib", "xla_half", "factored", "factored_f32",
-            "factored_kernel", "drop", "xla_f32_b", "xla_half_b",
-            "xla_half_ob", "xla_half_bb",
+            "xla", "xla_pib", "xla_half", "xla_half_sr", "factored",
+            "factored_f32", "factored_sr", "factored_kernel", "drop",
+            "xla_f32_b", "xla_half_b", "xla_half_ob", "xla_half_bb",
         ):
             return self.scatter_strategy
         if n_rows >= self.factored_min_rows:

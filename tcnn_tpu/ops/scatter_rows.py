@@ -289,12 +289,41 @@ def scatter_rows_factored_pallas(
 # ---------------------------------------------------------------------------
 
 
+def _stochastic_round_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """Round f32 to bf16 stochastically: P(round up) = fraction of the ulp.
+
+    The 16-bit dither comes from a murmur-style integer hash of the VALUE's
+    own f32 bits (the scatter transpose has no rng argument to thread a key
+    through): a given f32 value always rounds the same way, but gradient
+    values vary at full f32 precision step to step, so the rounding is
+    unbiased across a training run — the property that matters for
+    low-precision gradient ACCUMULATION (plain round-to-nearest silently
+    drops contributions below the ulp and measured -7 dB PSNR on the
+    image-fit golden; the reference's half-precision atomicAdd
+    (grid.h:660-671) leans on the same per-step noise decorrelation).
+    Integer ops are opaque to XLA's excess-precision simplifier, so
+    nothing here can be elided (unlike the f32->bf16 round-trip of the
+    compensated pair, which needs an optimization_barrier).
+
+    Zeros map to zeros (masked strip entries stay absent); sign-magnitude
+    bit layout makes the magnitude rounding symmetric in sign.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    h = bits * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x85EBCA6B)
+    dither = (h >> 16).astype(jnp.uint32)  # 16 dithering bits
+    r = (bits + dither) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(r, jnp.float32).astype(jnp.bfloat16)
+
+
 def scatter_rows_factored(
     idx: jnp.ndarray,
     rows: jnp.ndarray,
     size: int,
     lo_width: int | None = None,
     compute_dtype=jnp.bfloat16,
+    rounding: str = "pair",
 ) -> jnp.ndarray:
     """Row scatter-add as dense MXU work via index factorization (PLAN.md).
 
@@ -331,31 +360,48 @@ def scatter_rows_factored(
     hi = (idx // lo_width).astype(jnp.int32)
     lo = (idx % lo_width).astype(jnp.int32)
     iota_lo = jnp.arange(lo_width, dtype=jnp.int32)[None, :]
-    g32 = jnp.where(
-        (iota_lo == lo[:, None])[..., None],
-        rows[:, None, :].astype(jnp.float32),
-        0.0,
-    ).reshape(B, lo_width * R)
+    lo_mask = (iota_lo == lo[:, None])[..., None]  # (B, lo, 1)
+
+    def strip(r):
+        # Rounding commutes with the one-hot masking (masked slots are
+        # exact zeros), so rounding the (B, R) rows FIRST and masking in
+        # the target dtype halves the strip's materialized bytes vs
+        # building it in f32 and casting.
+        return jnp.where(lo_mask, r[:, None, :], r.dtype.type(0)).reshape(
+            B, lo_width * R
+        )
+
     iota_hi = jnp.arange(hi_w, dtype=jnp.int32)[None, :]
     if compute_dtype == jnp.float32:
         oh_hi = (iota_hi == hi[:, None]).astype(jnp.float32)
         out = jax.lax.dot_general(
             oh_hi.T,
-            g32,
+            strip(rows.astype(jnp.float32)),
             (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
+    elif rounding == "sr":
+        # ONE matmul on stochastically-rounded bf16 contributions: half
+        # the MXU passes of the compensated pair at the reference's own
+        # accumulation precision (half grad_t, grid.h:660-671) but
+        # unbiased across steps — see _stochastic_round_bf16.
+        oh_hi = (iota_hi == hi[:, None]).astype(compute_dtype)
+        rows_sr = _stochastic_round_bf16(rows.astype(jnp.float32))
+        out = jnp.dot(
+            oh_hi.T, strip(rows_sr), preferred_element_type=jnp.float32
+        )
     else:
         oh_hi = (iota_hi == hi[:, None]).astype(compute_dtype)
-        g_hi = jax.lax.optimization_barrier(g32.astype(compute_dtype))
-        g_res = ((g32 - g_hi.astype(jnp.float32)) * 256.0).astype(
+        rows32 = rows.astype(jnp.float32)
+        r_hi = jax.lax.optimization_barrier(rows32.astype(compute_dtype))
+        r_res = ((rows32 - r_hi.astype(jnp.float32)) * 256.0).astype(
             compute_dtype
         )
         out = jnp.dot(
-            oh_hi.T, g_hi, preferred_element_type=jnp.float32
+            oh_hi.T, strip(r_hi), preferred_element_type=jnp.float32
         ) + (1.0 / 256.0) * jnp.dot(
-            oh_hi.T, g_res, preferred_element_type=jnp.float32
+            oh_hi.T, strip(r_res), preferred_element_type=jnp.float32
         )
     return out.reshape(s_pad, R)[:size]
 
@@ -374,6 +420,8 @@ def _factored_scatter_of(scatter: str, size: int, r: int, out_dtype):
             dt = scatter_rows_factored_pallas(
                 flat_idx, flat_g.astype(jnp.float32), size
             )
+        elif scatter == "factored_sr":
+            dt = scatter_rows_factored(flat_idx, flat_g, size, rounding="sr")
         else:
             dt = scatter_rows_factored(flat_idx, flat_g, size)
         return dt.astype(out_dtype)
@@ -483,6 +531,22 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
                 .at[i.reshape(-1)]
                 .add(
                     g.reshape(-1, r).astype(jnp.bfloat16),
+                    mode="promise_in_bounds",
+                )
+            ).astype(out_dtype)
+    elif scatter == "xla_half_sr":
+        # xla_half with stochastically-rounded contributions: same emitter
+        # speed, unbiased first rounding (the in-emitter bf16 partial-sum
+        # rounding remains round-to-nearest, like the reference's half
+        # atomics).
+        def ft(i, g):
+            return (
+                jnp.zeros((size, r), jnp.bfloat16)
+                .at[i.reshape(-1)]
+                .add(
+                    _stochastic_round_bf16(
+                        g.reshape(-1, r).astype(jnp.float32)
+                    ),
                     mode="promise_in_bounds",
                 )
             ).astype(out_dtype)

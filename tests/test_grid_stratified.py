@@ -137,6 +137,73 @@ def test_factored_scatter_matches_xla():
     np.testing.assert_allclose(got32, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_stochastic_round_bf16_properties():
+    from tcnn_tpu.ops.scatter_rows import _stochastic_round_bf16
+
+    r = np.random.default_rng(11)
+    x = jnp.asarray(r.normal(size=(4096,)).astype(np.float32))
+    got = np.asarray(jax.jit(_stochastic_round_bf16)(x)).astype(np.float32)
+    xf = np.asarray(x)
+    # Each output is one of the two bf16 neighbors of the input.
+    lo = xf.view(np.uint32) & np.uint32(0xFFFF0000)
+    lo_f = lo.view(np.float32)
+    hi_f = (lo + np.uint32(0x10000)).view(np.float32)
+    assert np.all((got == lo_f) | (got == hi_f))
+    # Unbiased-ish across many values: mean signed error well under the
+    # half-ulp bias a fixed rounding direction would produce.
+    err = got - xf
+    ulp = np.abs(hi_f - lo_f)
+    assert abs(np.mean(err / ulp)) < 0.05
+    # Exactly-representable values are fixed points; zeros stay zero.
+    exact = jnp.asarray([0.0, -0.0, 1.0, -2.5, 3.140625])
+    np.testing.assert_array_equal(
+        np.asarray(_stochastic_round_bf16(exact)).astype(np.float32),
+        np.asarray(exact),
+    )
+
+
+def test_factored_sr_scatter_close_and_trains():
+    from tcnn_tpu.ops.scatter_rows import scatter_rows_factored
+
+    r = np.random.default_rng(13)
+    idx = jnp.asarray(r.integers(0, 1000, 4096), jnp.int32)
+    rows = jnp.asarray(r.normal(size=(4096, 8)), jnp.float32)
+    ref = np.zeros((1000, 8), np.float32)
+    np.add.at(ref, np.asarray(idx), np.asarray(rows))
+    got = np.asarray(
+        jax.jit(
+            lambda i, v: scatter_rows_factored(i, v, 1000, rounding="sr")
+        )(idx, rows)
+    )
+    # Single stochastically-rounded bf16 contribution: per-element noise
+    # ~ulp(|g|) * sqrt(rows/slot); f32 accumulation on the MXU.
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+    cfg = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {
+            "otype": "HashGrid",
+            "n_levels": 4,
+            "log2_hashmap_size": 10,
+            "base_resolution": 4,
+            "hash": "CoherentAdditive",
+            "gather_strategy": "quad",
+            "scatter_strategy": "factored_sr",
+        },
+        "network": {"otype": "CutlassMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    }
+    model = tc.create_from_config(2, 3, cfg)
+    r2 = np.random.default_rng(0)
+    x = jnp.asarray(r2.uniform(0, 1, (512, 2)).astype(np.float32))
+    y = jnp.asarray(r2.uniform(0, 1, (512, 3)).astype(np.float32))
+    l0 = float(model.trainer.training_step(x, y))
+    for _ in range(20):
+        loss = float(model.trainer.training_step(x, y))
+    assert np.isfinite(loss) and loss < l0
+
+
 def test_factored_quad_gradients_match_xla():
     base = dict(
         otype="HashGrid",
