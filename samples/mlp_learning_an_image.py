@@ -136,8 +136,14 @@ def main():
     state = trainer.state
     loss_curve = []
     t0 = time.perf_counter()
+    t_first = None
     for i in range(n_steps):
         state, loss = step(state, keys[i], image_dev)
+        if i == 0:
+            # Sync after step 0 so steady-state timing excludes the jit
+            # compile (first-call cost is reported separately below).
+            loss = float(loss)
+            t_first = time.perf_counter()
         if i % 100 == 0 or i == n_steps - 1:
             loss = float(loss)
             loss_curve.append([i, loss])
@@ -145,6 +151,14 @@ def main():
             print(f"step {i:5d}  loss {loss:.3e}  "
                   f"[{elapsed:.2f}s, {batch*(i+1)/max(elapsed,1e-9):.3g} samples/s]")
     train_time = time.perf_counter() - t0
+    steady_ms = (
+        (time.perf_counter() - t_first) / max(n_steps - 1, 1) * 1e3
+        if n_steps > 1
+        else train_time * 1e3
+    )
+    print(f"steady-state {steady_ms:.1f} ms/step "
+          f"({batch / steady_ms * 1e3:.3g} samples/s); "
+          f"first step (incl. compile) {t_first - t0:.1f}s")
     trainer.state = state
 
     # Render the learned image and report PSNR.
@@ -173,7 +187,8 @@ def main():
             "steps": n_steps,
             "batch": batch,
             "train_seconds": round(train_time, 3),
-            "ms_per_step": round(train_time / n_steps * 1e3, 3),
+            "ms_per_step": round(steady_ms, 3),
+            "first_step_seconds": round(t_first - t0, 3),
             "psnr_db": round(psnr, 3),
             "mse": mse,
             "loss_curve": loss_curve,

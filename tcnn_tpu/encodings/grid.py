@@ -225,14 +225,20 @@ class GridEncoding(Encoding):
         # quad lookup (dense transpose-matmul backward instead of a serial
         # scatter). Measured neutral on v5e at 2048 — off by default.
         self.onehot_threshold = 0
-        # Lane-packed quad tables ("auto" | "off"): store K = 128/(2^d*F)
-        # cells per physical row so the quad table's minor dim is exactly
-        # the TPU lane width. The unpacked (size, 2^d*F) form pads every
-        # row to 128 lanes (8x for 16-wide rows) and its backward's roll
-        # adjoints materialize (size, F)-narrow arrays in a 64x-padded
-        # layout — measured 37 GB of traffic per flagship-3D step vs ~3 GB
-        # packed (PLAN.md round 2). Packing is exact (same gathers, same
-        # scatter mode) and cuts the composed per-level backward ~40%.
+        # Quad-table layout for emitter-scattered levels ("auto" |
+        # "hybrid" | "packed" | "off"). The PACKED layout stores
+        # K = 128/(2^d*F) cells per physical row so the table's minor dim
+        # is exactly the TPU lane width — the unpacked (size, 2^d*F) form
+        # pads every row to 128 lanes (8x for 16-wide rows) and its
+        # backward's roll adjoints materialize (size, F)-narrow arrays in
+        # a 64x-padded layout (measured 37 GB of traffic per flagship-3D
+        # step vs ~3 GB packed; PLAN.md round 2). "auto" (default) =
+        # "hybrid": unpacked-gather FORWARD (skips the packed form's
+        # per-corner slot select, pure overhead) with the packed-layout
+        # scatter TRANSPOSE — measured fastest on both directions
+        # (probe_hybrid.py: 3D NeRF step 133.7 -> 121.5 ms over packed).
+        # "packed" forces the symmetric packed gather+select. All three
+        # are exact relayouts of the same linear map.
         self.quad_pack = "auto"
         # Table-gradient reduction: "auto" picks the hierarchically
         # factored one-hot MXU scatter (ops/scatter_rows.py) for large
@@ -435,6 +441,164 @@ class GridEncoding(Encoding):
             rolls.append(r.reshape(size // K, K * F))
         return jnp.concatenate(rolls, axis=1)  # (size/K, 128)
 
+    def _quad_lookup_hybrid(self, params, idx, lvl: int, mode: str):
+        """Quad-cell lookup with an UNPACKED-gather forward and a
+        PACKED-scatter transpose (``quad_pack="hybrid"``).
+
+        The two measured facts this combines (PLAN.md round 2, v5e,
+        S=2^19 fine level, B=2^18):
+        - forward: the unpacked ``quad[idx]`` gather runs 3.0 ms vs
+          4.5 ms for the packed gather + slot select (the (B,128) row
+          fetch is the same per-row emitter cost; the 8-way one-hot
+          select is pure overhead);
+        - backward: the packed-layout scatter runs ~4.8 ms vs ~15 ms
+          unpacked (the (size, 2^d*F)-narrow scatter output and the
+          (size, F) roll adjoints lane-pad 8-64x).
+
+        The lookup is linear in ``params``, so ``linear_call`` gives the
+        forward to one direction and the hand-written packed transpose to
+        the other, composable at any differentiation order (same
+        construction as ``ops.gather_rows``). Exact: both directions are
+        transposes of the same linear map; only layouts differ.
+        """
+        from jax.custom_derivatives import linear_call
+
+        from ..ops.scatter_rows import _stochastic_round_bf16
+
+        F = self.n_features_per_level
+        K = self._pack_k()
+        C = 2 ** self.n_dims_to_encode
+        size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+        off = int(self.offset_table[lvl])
+        strides = self._level_strides(lvl)
+        deltas = []
+        for cbits in self._corners:
+            delta = 0
+            for dim, bit in enumerate(cbits):
+                delta += int(bit) * strides[dim]
+            deltas.append(delta % size)
+        n_params = params.shape[0]
+        batch = idx.shape[0]
+
+        def p_fn(i, p):
+            quad = self._quad_table(p.reshape(-1, F), lvl)
+            return quad.at[i].get(mode="promise_in_bounds")
+
+        def t_fn(i, dfeats):
+            # Lane placement into the packed layout (see
+            # _quad_table_packed): cell idx = K*row + slot; corner c's F
+            # features land at lanes [c*K*F + slot*F, +F).
+            slot = i % K
+            row = i // K
+            oh = (
+                jnp.arange(K, dtype=jnp.int32)[None, :] == slot[:, None]
+            )
+            g = dfeats.reshape(batch, C, 1, F) * oh[
+                :, None, :, None
+            ].astype(dfeats.dtype)
+            g128 = g.reshape(batch, C * K * F)
+            if mode.startswith("xla_half"):
+                rows128 = (
+                    _stochastic_round_bf16(g128.astype(jnp.float32))
+                    if mode == "xla_half_sr"
+                    else g128.astype(jnp.bfloat16)
+                )
+                acc_dtype = jnp.bfloat16
+            else:
+                rows128 = g128.astype(jnp.float32)
+                acc_dtype = jnp.float32
+            dpacked = (
+                jnp.zeros((size // K, C * K * F), acc_dtype)
+                .at[row]
+                .add(rows128, mode="promise_in_bounds")
+                .astype(jnp.float32)
+            )
+            # Adjoint of the packed build's flat rolls.
+            dflat = jnp.zeros((size * F,), jnp.float32)
+            for c, delta in enumerate(deltas):
+                blk = dpacked[:, c * K * F : (c + 1) * K * F].reshape(-1)
+                dflat = dflat + (
+                    jnp.roll(blk, delta * F) if delta else blk
+                )
+            out = jnp.zeros((n_params,), jnp.float32)
+            return jax.lax.dynamic_update_slice(out, dflat, (F * off,))
+
+        try:
+            return linear_call(p_fn, t_fn, idx, params)
+        except NotImplementedError:  # vmap: no linear_call batching rule
+            return p_fn(idx, params)
+
+    def _raster_separable_feats(self, table, lvl: int, side: int):
+        """Raster-serving fast path for one raster-stride level: SEPARABLE
+        d-linear interpolation with trace-time-static indices/weights.
+
+        Tile-center positions (``utils.sampling.raster_centers``) are a
+        tensor product of one per-dim coordinate vector, so the cell index
+        and interpolation weight along each dim are static (side,) vectors
+        — the lookup is d successive static ``jnp.take``+lerp stages over
+        the dense vertex grid instead of per-sample gathers, variants, or
+        masks. Corner wraparound reproduces the raster-additive fold
+        ``(flat + shift) % size`` exactly: each corner reads from a
+        shifted window of the mod-``size``-tiled flat parameter vector
+        (the same construction as the quad table's rolls, grid.h:49-212's
+        dense indexing). Channel-first layout throughout — intermediates
+        are (F, side, res)-shaped with wide minor dims (the (B, F)-narrow
+        forms lane-pad 16-64x; PLAN.md round 2).
+
+        Returns (F, side^d) float32, flattened with dim 0 fastest.
+        """
+        import itertools
+
+        d = self.n_dims_to_encode
+        F = self.n_features_per_level
+        res = int(self.resolutions[lvl])
+        scale = float(self.scales[lvl])
+        size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+        off = int(self.offset_table[lvl])
+        strides = self._level_strides(lvl)
+
+        # Static per-dim base index / weight — an exact f32 replica of
+        # apply()'s pos_fract on raster_centers (same IEEE ops in numpy).
+        base = (np.arange(side, dtype=np.float32) + np.float32(0.5)) / (
+            np.float32(side)
+        )
+        pos = base * np.float32(scale) + np.float32(0.5)
+        i0 = np.floor(pos)
+        t = (pos - i0).astype(np.float32)
+        if self.interpolation_type == InterpolationType.Smoothstep:
+            w = t * t * (np.float32(3.0) - np.float32(2.0) * t)
+        else:
+            w = t
+        i0j = jnp.asarray(i0.astype(np.int32))
+        wj = jnp.asarray(w)
+
+        n_cells = res**d
+        max_shift = sum(strides)
+        reps = -(-(n_cells + max_shift) // size)
+        slT = table[off : off + size].T  # (F, size)
+        E = slT if reps == 1 else jnp.tile(slT, (1, reps))
+
+        # 2^d corner tensors = shifted dense views of E; key ordered like
+        # the tensor axes (dim d-1 first).
+        tensors = {}
+        for cbits in self._corners:
+            shift = sum(int(b) * strides[dim] for dim, b in enumerate(cbits))
+            key = tuple(int(b) for b in reversed(list(cbits)))
+            tensors[key] = E[:, shift : shift + n_cells].reshape(
+                (F,) + (res,) * d
+            )
+        # Lerp one axis per stage, halving the corner set by prefix.
+        for k in range(d):
+            rem = d - 1 - k
+            wb = wj.reshape((1,) * (1 + k) + (side,) + (1,) * rem)
+            new = {}
+            for suffix in itertools.product((0, 1), repeat=rem):
+                a = jnp.take(tensors[(0,) + suffix], i0j, axis=1 + k)
+                b = jnp.take(tensors[(1,) + suffix], i0j, axis=1 + k)
+                new[suffix] = (1.0 - wb) * a + wb * b
+            tensors = new
+        return tensors[()].reshape(F, side**d)
+
     def _stratified_feats(self, table, lvl: int, strata: int, bits):
         """Gather-free corner features for one coarse level of a stratified
         batch (PLAN.md): unfold the raster-hashed quad table to the dense
@@ -511,6 +675,7 @@ class GridEncoding(Encoding):
         max_level: Optional[float] = None,
         rng=None,
         stratified: Optional[bool] = None,
+        raster_side: Optional[int] = None,
     ):
         """Encode positions.
 
@@ -584,6 +749,20 @@ class GridEncoding(Encoding):
             s_ = round(batch ** (1.0 / d))
             if s_**d == batch and s_ >= 2:
                 strat_strata = s_
+        # Raster-serving separability (apply_raster): positions are the
+        # static tile-center tensor product, so raster-stride levels use
+        # the separable static-lerp path (no variants, no contract check
+        # needed — the layout holds by construction).
+        separable_ok = (
+            raster_side is not None
+            and raster_side**d == batch
+            and d in (2, 3)
+            and not self.fixed_point_pos
+            and not stochastic
+            and self.raster_max_scale is not None
+            and self.interpolation_type
+            in (InterpolationType.Linear, InterpolationType.Smoothstep)
+        )
         if stratified and not strat_strata:
             raise ValueError(
                 "stratified=True but the static path is unavailable "
@@ -592,7 +771,7 @@ class GridEncoding(Encoding):
                 "'stratified')"
             )
         contract_ok = None
-        if strat_strata:
+        if strat_strata and not separable_ok:
             # On-device raster-tile contract check (cheap VPU compares):
             # sample j must lie in tile j (dim i tile = (j // strata^i) %
             # strata). One extra tile of slack per dim absorbs f32 rounding
@@ -613,6 +792,22 @@ class GridEncoding(Encoding):
             res = int(self.resolutions[lvl])
             level_size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
             level_offset = int(self.offset_table[lvl])
+
+            if (
+                separable_ok
+                and scale <= self.raster_max_scale
+                and lvl == len(strat_bits)
+                and all(v == "separable" for v in strat_bits.values())
+            ):
+                # Raster-stride level on a tile-center raster: fully
+                # static separable lerp (see _raster_separable_feats) —
+                # no per-sample index/weight arithmetic at all. Only a
+                # level PREFIX is taken (scales are monotone in practice;
+                # the output assembly re-joins one channel-first block).
+                strat_bits[lvl] = "separable"
+                idx_levels.append(None)
+                w_levels.append(None)
+                continue
 
             if self.fixed_point_pos:
                 # Fixed-point cell decomposition (reference: grid.h:1143-1151):
@@ -813,8 +1008,15 @@ class GridEncoding(Encoding):
             # saved op launches; per-level loop fusion wins. The batched
             # ops remain in ops/scatter_rows.py with CPU coverage.)
             outs = []
+            sep_blocks = []  # (F, B) channel-first blocks (level prefix)
             for lvl in range(L):
                 idx = idx_levels[lvl]
+                if idx is None and strat_bits.get(lvl) == "separable":
+                    sep_blocks.append(
+                        self._raster_separable_feats(table, lvl, raster_side)
+                    )
+                    outs.append(None)
+                    continue
                 if idx is None:
                     # Stratified static path — no random access (PLAN.md).
                     feats = self._stratified_feats(
@@ -835,7 +1037,16 @@ class GridEncoding(Encoding):
                         and self.index_mode is None
                         and mode.startswith("xla")
                     )
-                    if packed:
+                    if packed and self.quad_pack in ("auto", "hybrid"):
+                        # Unpacked-gather forward + packed-scatter
+                        # transpose (see _quad_lookup_hybrid). Default:
+                        # measured faster than the packed gather+select on
+                        # BOTH directions (3D NeRF step 133.7 -> 121.5 ms,
+                        # 2D 2^19 step 81.2 -> 74.4; probe_hybrid.py).
+                        feats = self._quad_lookup_hybrid(
+                            params, idx, lvl, mode
+                        ).reshape(batch, n_corners, F)
+                    elif packed:
                         # Lane-packed quad lookup (see _quad_table_packed):
                         # gather the (B, 128) packed row, select cell
                         # idx % K per corner block elementwise. Exact — the
@@ -888,7 +1099,23 @@ class GridEncoding(Encoding):
                     outs.append(
                         jnp.sum(feats * w_levels[lvl][..., None], axis=1)
                     )
-            y = jnp.stack(outs, axis=1)  # (B, L, F)
+            if sep_blocks:
+                # Separable levels form a prefix (scales are monotone);
+                # ONE transpose re-joins the channel-first block with the
+                # per-sample levels.
+                k = len(sep_blocks)
+                assert all(outs[i] is None for i in range(k))
+                y_sep = jnp.concatenate(sep_blocks, axis=0).T.reshape(
+                    batch, k, F
+                )
+                rest = outs[k:]
+                y = (
+                    jnp.concatenate([y_sep, jnp.stack(rest, axis=1)], axis=1)
+                    if rest
+                    else y_sep
+                )
+            else:
+                y = jnp.stack(outs, axis=1)  # (B, L, F)
 
         if max_level is not None:
             # Level l is active iff l < max_level * L + 1e-3 (grid.h:69-92).
@@ -947,7 +1174,12 @@ class GridEncoding(Encoding):
             ** self.n_dims_to_encode
             == batch
         ):
-            return self.apply(params, x, max_level=max_level, stratified=True)
+            # raster_side activates the separable static-lerp path on
+            # raster-stride levels (strictly faster than the stratified
+            # variant machinery: no masks, no variants, no contract check).
+            return self.apply(
+                params, x, max_level=max_level, raster_side=int(side)
+            )
         return self.apply(params, x, max_level=max_level, stratified=False)
 
     def hyperparams(self):

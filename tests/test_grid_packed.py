@@ -33,9 +33,10 @@ def _enc(n_dims, quad_pack, **extra):
 
 
 @pytest.mark.parametrize("n_dims", [2, 3])
-def test_packed_matches_unpacked(n_dims):
+@pytest.mark.parametrize("mode", ["packed", "auto"])
+def test_packed_matches_unpacked(n_dims, mode):
     a = _enc(n_dims, "off")
-    b = _enc(n_dims, "auto")
+    b = _enc(n_dims, mode)
     r = np.random.default_rng(0)
     params = jnp.asarray(r.standard_normal(a.n_params).astype(np.float32))
     x = jnp.asarray(r.uniform(0, 1, (128, n_dims)), jnp.float32)
@@ -96,6 +97,54 @@ def test_packed_second_order():
     gg = jax.jit(jax.grad(eik))(params)
     assert np.isfinite(np.asarray(gg)).all()
     assert float(jnp.abs(gg).max()) > 0
+
+
+@pytest.mark.parametrize("n_dims", [2, 3])
+def test_hybrid_matches_unpacked(n_dims):
+    # quad_pack="hybrid": unpacked-gather forward (bitwise-identical
+    # features) with the packed-layout scatter transpose (gradients match
+    # the packed path to accumulation roundoff).
+    a = _enc(n_dims, "off")
+    h = _enc(n_dims, "hybrid")
+    p = _enc(n_dims, "packed")
+    r = np.random.default_rng(4)
+    params = jnp.asarray(r.standard_normal(a.n_params).astype(np.float32))
+    x = jnp.asarray(r.uniform(0, 1, (256, n_dims)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(a.apply)(params, x)),
+        np.asarray(jax.jit(h.apply)(params, x)),
+    )
+
+    def loss(e):
+        return lambda q: (e.apply(q, x).astype(jnp.float32) ** 2).sum()
+
+    gh = np.asarray(jax.jit(jax.grad(loss(h)))(params))
+    gp = np.asarray(jax.jit(jax.grad(loss(p)))(params))
+    np.testing.assert_allclose(gh, gp, rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_second_order():
+    # grad∘grad composes through linear_call (transpose of the transpose
+    # is the unpacked gather again).
+    e = _enc(3, "hybrid", interpolation="Smoothstep")
+    o = _enc(3, "off", interpolation="Smoothstep")
+    r = np.random.default_rng(5)
+    params = jnp.asarray(r.standard_normal(e.n_params).astype(np.float32))
+    x = jnp.asarray(r.uniform(0.1, 0.9, (32, 3)), jnp.float32)
+
+    def eik(enc):
+        def sdf(p, pts):
+            return enc.apply(p, pts[None, :]).astype(jnp.float32).sum()
+
+        def f(p):
+            g = jax.vmap(jax.grad(sdf, argnums=1), in_axes=(None, 0))(p, x)
+            return ((jnp.linalg.norm(g, axis=-1) - 1) ** 2).mean()
+
+        return f
+
+    gg = np.asarray(jax.jit(jax.grad(eik(e)))(params))
+    gg0 = np.asarray(jax.jit(jax.grad(eik(o)))(params))
+    np.testing.assert_allclose(gg, gg0, rtol=1e-4, atol=1e-5)
 
 
 def test_packed_skips_nondivisible_levels():
