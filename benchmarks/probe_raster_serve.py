@@ -86,6 +86,18 @@ def main():
     b = np.asarray(m3.trainer.inference_raster(side3))
     print("3D parity max_abs:", np.abs(a - b).max(), flush=True)
 
+    # 3D stratified config (strata 64): levels 0-5 take the separable path.
+    cfg3s = dict(cfg3)
+    cfg3s["encoding"] = dict(
+        cfg3["encoding"], gather_strategy="stratified", strata=64
+    )
+    m3s = tc.create_from_config(3, 1, cfg3s)
+    timeit("3D strat chunk inference ", lambda: m3s.trainer.inference(x3))
+    timeit("3D strat raster inference", lambda: m3s.trainer.inference_raster(side3))
+    a = np.asarray(m3s.trainer.inference(x3))
+    b = np.asarray(m3s.trainer.inference_raster(side3))
+    print("3D strat parity max_abs:", np.abs(a - b).max(), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,214 @@
+"""Table-(model-)parallel grid encoding over a mesh axis.
+
+The reference is single-GPU: its scaling ceiling is the hash table
+fitting one device (``log2_hashmap_size`` ~24 on a 24 GB card,
+reference: encodings/grid.h:428-436 table allocation). This module
+row-shards EVERY level's table across a mesh axis so grids larger than
+one chip's HBM train and serve across ICI — the TPU-native answer to
+that ceiling (there is no reference analogue to port).
+
+Design (TPU-first):
+
+- Each device owns a contiguous ``ceil(S_l / n)``-row block of every
+  level. The forward is index arithmetic (replicated work) + ONE local
+  gather with an ownership mask; a single ``psum`` over the axis
+  assembles the per-sample features.
+- Communication is O(batch * L * F) per apply — independent of table
+  size. The table GRADIENT needs no communication at all: autodiff
+  turns mask+psum into a broadcast + locally-masked scatter, so each
+  device scatter-adds only into its own rows.
+- Model parallelism here trades ``n``x replicated index compute for
+  ``n``x memory capacity — the right trade exactly when the table
+  cannot fit one chip. For tables that fit, use
+  :class:`~tcnn_tpu.parallel.DataParallelTrainer` (replicated params).
+- Composes with data parallelism on an orthogonal mesh axis: pass
+  ``data_axis`` and shard the batch there; the feature psum stays on
+  the model axis only.
+
+Scope: the ``per_level`` vertex-gather execution path (any hash type,
+Nearest/Linear/Smoothstep) — the giant-table regime this exists for.
+The quad/stratified fast paths assume device-local tables and stay
+single-device."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..common import InterpolationType
+from ..encodings.grid import GridEncoding, _grid_hash
+
+
+class TableParallelGrid:
+    """Row-shards a :class:`GridEncoding`'s tables over ``mesh[axis]``.
+
+    ``shard_params(params)`` relays the flat parameter vector into an
+    ``(n * local_n_params,)`` stack (device ``d``'s block at
+    ``[d * local_n_params, (d+1) * local_n_params)``); ``apply`` runs the
+    sharded lookup under ``shard_map`` and returns features identical to
+    ``encoding.apply`` (per_level strategy) on the unsharded params.
+    """
+
+    def __init__(
+        self,
+        encoding: GridEncoding,
+        mesh: Mesh,
+        axis: str = "model",
+        data_axis: Optional[str] = None,
+    ):
+        if encoding.stochastic_interpolation:
+            raise NotImplementedError(
+                "table-parallel grid: stochastic interpolation is "
+                "single-device only"
+            )
+        self.encoding = encoding
+        self.mesh = mesh
+        self.axis = axis
+        self.data_axis = data_axis
+        self.n_shards = int(mesh.shape[axis])
+
+        F = encoding.n_features_per_level
+        off = encoding.offset_table
+        self.level_sizes = [
+            int(off[l + 1] - off[l]) for l in range(encoding.n_levels)
+        ]
+        # Per-device rows per level (8-row aligned like the global layout).
+        self.local_rows = [
+            -(-s // self.n_shards) for s in self.level_sizes
+        ]
+        self.local_offsets = np.concatenate(
+            [[0], np.cumsum(self.local_rows)]
+        ).astype(np.int64)
+        self.local_n_params = int(self.local_offsets[-1]) * F
+
+    # -- parameter relayout --------------------------------------------------
+    def shard_params(self, params) -> np.ndarray:
+        """Flat (n_params,) -> (n_shards * local_n_params,) block stack
+        (host-side numpy; do once, then ``jax.device_put`` with
+        ``PartitionSpec(axis)``)."""
+        e = self.encoding
+        F = e.n_features_per_level
+        table = np.asarray(params, np.float32).reshape(-1, F)
+        out = np.zeros((self.n_shards, self.local_n_params // F, F), np.float32)
+        for lvl, (size, rows) in enumerate(
+            zip(self.level_sizes, self.local_rows)
+        ):
+            goff = int(e.offset_table[lvl])
+            loff = int(self.local_offsets[lvl])
+            for d in range(self.n_shards):
+                lo = d * rows
+                hi = min(lo + rows, size)
+                if hi > lo:
+                    out[d, loff : loff + (hi - lo)] = table[
+                        goff + lo : goff + hi
+                    ]
+        return out.reshape(-1)
+
+    def unshard_params(self, stacked) -> np.ndarray:
+        """Inverse of :meth:`shard_params` (for checkpointing in the
+        reference-compatible flat layout)."""
+        e = self.encoding
+        F = e.n_features_per_level
+        blocks = np.asarray(stacked, np.float32).reshape(
+            self.n_shards, self.local_n_params // F, F
+        )
+        table = np.zeros((int(e.offset_table[-1]), F), np.float32)
+        for lvl, (size, rows) in enumerate(
+            zip(self.level_sizes, self.local_rows)
+        ):
+            goff = int(e.offset_table[lvl])
+            loff = int(self.local_offsets[lvl])
+            for d in range(self.n_shards):
+                lo = d * rows
+                hi = min(lo + rows, size)
+                if hi > lo:
+                    table[goff + lo : goff + hi] = blocks[
+                        d, loff : loff + (hi - lo)
+                    ]
+        return table.reshape(-1)
+
+    # -- sharded lookup --------------------------------------------------------
+    def _local_apply(self, local_params, x):
+        """Per-device body (inside shard_map): local gather + mask; the
+        caller psums over the model axis. Index math mirrors
+        ``GridEncoding.apply``'s per_level path (grid.h:49-212)."""
+        e = self.encoding
+        d = e.n_dims_to_encode
+        F = e.n_features_per_level
+        L = e.n_levels
+        batch = x.shape[0]
+        x = x.astype(jnp.float32)
+        table_local = local_params.reshape(-1, F)
+        dev = jax.lax.axis_index(self.axis)
+        nearest = e.interpolation_type == InterpolationType.Nearest
+        outs = []
+        for lvl in range(L):
+            scale = float(e.scales[lvl])
+            size = self.level_sizes[lvl]
+            rows = self.local_rows[lvl]
+            loff = int(self.local_offsets[lvl])
+
+            pos = x * scale + 0.5
+            pos_floor = jnp.floor(pos)
+            pos_grid = pos_floor.astype(jnp.int32)
+            t = pos - pos_floor
+            if e.interpolation_type == InterpolationType.Smoothstep:
+                t = t * t * (3.0 - 2.0 * t)
+            if nearest:
+                corner = pos_grid.astype(jnp.uint32)[:, None, :]
+                weights = jnp.ones((batch, 1), jnp.float32)
+            else:
+                corners = jnp.asarray(e._corners, jnp.int32)
+                corner = (
+                    pos_grid[:, None, :] + corners[None, :, :]
+                ).astype(jnp.uint32)
+                bits = corners[None, :, :].astype(jnp.float32)
+                weights = jnp.prod(
+                    bits * t[:, None, :] + (1.0 - bits) * (1.0 - t[:, None, :]),
+                    axis=-1,
+                )
+
+            strides = e._level_strides(lvl)
+            if strides is not None:
+                idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
+                for dim in range(d):
+                    idx = idx + corner[..., dim] * jnp.uint32(
+                        strides[dim] & 0xFFFFFFFF
+                    )
+            else:
+                idx = _grid_hash(corner, e.hash_type)
+            idx = (idx % jnp.uint32(size)).astype(jnp.int32)
+
+            loc = idx - dev.astype(jnp.int32) * rows
+            valid = (loc >= 0) & (loc < rows)
+            safe = jnp.clip(loc, 0, rows - 1) + loff
+            f = table_local.at[safe].get(mode="promise_in_bounds")
+            f = jnp.where(valid[..., None], f, 0.0)
+            outs.append(jnp.sum(f * weights[..., None], axis=1))
+        y = jnp.stack(outs, axis=1).reshape(batch, L * F)
+        return jax.lax.psum(y, self.axis)
+
+    def apply(self, stacked_params, x):
+        """Sharded lookup: ``stacked_params`` is the shard_params stack
+        ((n_shards * local_n_params,)), ``x`` the (possibly data-sharded)
+        batch. Returns (B, L*F) features, replicated over the model axis.
+        Differentiable — table gradients flow to each device's own rows
+        with no cross-device traffic."""
+        xspec = P(self.data_axis) if self.data_axis else P()
+        return shard_map(
+            self._local_apply,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), xspec),
+            out_specs=xspec,
+        )(stacked_params, x)
+
+    def padded_apply(self, stacked_params, x):
+        """Like :meth:`apply` but with the encoding's output padding /
+        dtype (drop-in for ``encoding.apply`` in a composed model)."""
+        return self.encoding._pad(self.apply(stacked_params, x))
