@@ -103,15 +103,16 @@ class Encoding:
             y = jnp.concatenate([y, pad], axis=1)
         return y.astype(self.output_dtype)
 
-    def apply_raster(self, params, side: int, **kwargs):
-        """Encode the ``side^n_dims_to_encode`` tile-center raster (the
+    def apply_raster(self, params, side, **kwargs):
+        """Encode the tile-center raster (the
         ``utils.sampling.raster_centers`` layout: sample ``j`` is the center
-        of raster tile ``j``, dim 0 fastest). Subclasses with static-index
-        fast paths override this (see ``GridEncoding.apply_raster``); the
-        default materializes the positions and applies normally."""
+        of raster tile ``j``, dim 0 fastest; ``side`` int or per-dim tuple).
+        Subclasses with static-index fast paths override this (see
+        ``GridEncoding.apply_raster``); the default materializes the
+        positions and applies normally."""
         from ..utils.sampling import raster_centers
 
-        x = jnp.asarray(raster_centers(int(side), self.n_dims_to_encode))
+        x = jnp.asarray(raster_centers(side, self.n_dims_to_encode))
         return self.apply(params, x, **kwargs)
 
     def __call__(self, params, x):

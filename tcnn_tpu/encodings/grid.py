@@ -528,24 +528,29 @@ class GridEncoding(Encoding):
         except NotImplementedError:  # vmap: no linear_call batching rule
             return p_fn(idx, params)
 
-    def _raster_separable_feats(self, table, lvl: int, side: int):
+    def _raster_separable_feats(self, table, lvl: int, sides):
         """Raster-serving fast path for one raster-stride level: SEPARABLE
         d-linear interpolation with trace-time-static indices/weights.
 
         Tile-center positions (``utils.sampling.raster_centers``) are a
         tensor product of one per-dim coordinate vector, so the cell index
-        and interpolation weight along each dim are static (side,) vectors
-        — the lookup is d successive static ``jnp.take``+lerp stages over
-        the dense vertex grid instead of per-sample gathers, variants, or
-        masks. Corner wraparound reproduces the raster-additive fold
-        ``(flat + shift) % size`` exactly: each corner reads from a
-        shifted window of the mod-``size``-tiled flat parameter vector
-        (the same construction as the quad table's rolls, grid.h:49-212's
-        dense indexing). Channel-first layout throughout — intermediates
-        are (F, side, res)-shaped with wide minor dims (the (B, F)-narrow
-        forms lane-pad 16-64x; PLAN.md round 2).
+        and interpolation weight along each dim are static (side_k,)
+        vectors — the lookup is d successive static ``jnp.take``+lerp
+        stages over the dense vertex grid instead of per-sample gathers,
+        variants, or masks. Corner wraparound reproduces the
+        raster-additive fold ``(flat + shift) % size`` exactly: each
+        corner reads from a shifted window of the mod-``size``-tiled flat
+        parameter vector (the same construction as the quad table's
+        rolls, grid.h:49-212's dense indexing). Channel-first layout
+        throughout — intermediates are (F, side, res)-shaped with wide
+        minor dims (the (B, F)-narrow forms lane-pad 16-64x; PLAN.md
+        round 2).
 
-        Returns (F, side^d) float32, flattened with dim 0 fastest.
+        Args:
+          sides: per-dim tile counts (side_0, ..., side_{d-1}) —
+            rectangular rasters supported (e.g. a w x h image).
+
+        Returns (F, prod(sides)) float32, flattened with dim 0 fastest.
         """
         import itertools
 
@@ -559,18 +564,18 @@ class GridEncoding(Encoding):
 
         # Static per-dim base index / weight — an exact f32 replica of
         # apply()'s pos_fract on raster_centers (same IEEE ops in numpy).
-        base = (np.arange(side, dtype=np.float32) + np.float32(0.5)) / (
-            np.float32(side)
-        )
-        pos = base * np.float32(scale) + np.float32(0.5)
-        i0 = np.floor(pos)
-        t = (pos - i0).astype(np.float32)
-        if self.interpolation_type == InterpolationType.Smoothstep:
-            w = t * t * (np.float32(3.0) - np.float32(2.0) * t)
-        else:
-            w = t
-        i0j = jnp.asarray(i0.astype(np.int32))
-        wj = jnp.asarray(w)
+        i0s, ws = [], []
+        for side in sides:
+            base = (
+                np.arange(side, dtype=np.float32) + np.float32(0.5)
+            ) / np.float32(side)
+            pos = base * np.float32(scale) + np.float32(0.5)
+            i0 = np.floor(pos)
+            t = (pos - i0).astype(np.float32)
+            if self.interpolation_type == InterpolationType.Smoothstep:
+                t = t * t * (np.float32(3.0) - np.float32(2.0) * t)
+            i0s.append(jnp.asarray(i0.astype(np.int32)))
+            ws.append(jnp.asarray(t))
 
         n_cells = res**d
         max_shift = sum(strides)
@@ -588,16 +593,19 @@ class GridEncoding(Encoding):
                 (F,) + (res,) * d
             )
         # Lerp one axis per stage, halving the corner set by prefix.
+        # Tensor axis 1+k is input dim d-1-k.
         for k in range(d):
             rem = d - 1 - k
-            wb = wj.reshape((1,) * (1 + k) + (side,) + (1,) * rem)
+            dim = d - 1 - k
+            side = int(sides[dim])
+            wb = ws[dim].reshape((1,) * (1 + k) + (side,) + (1,) * rem)
             new = {}
             for suffix in itertools.product((0, 1), repeat=rem):
-                a = jnp.take(tensors[(0,) + suffix], i0j, axis=1 + k)
-                b = jnp.take(tensors[(1,) + suffix], i0j, axis=1 + k)
+                a = jnp.take(tensors[(0,) + suffix], i0s[dim], axis=1 + k)
+                b = jnp.take(tensors[(1,) + suffix], i0s[dim], axis=1 + k)
                 new[suffix] = (1.0 - wb) * a + wb * b
             tensors = new
-        return tensors[()].reshape(F, side**d)
+        return tensors[()].reshape(F, int(np.prod(sides)))
 
     def _stratified_feats(self, table, lvl: int, strata: int, bits):
         """Gather-free corner features for one coarse level of a stratified
@@ -753,9 +761,17 @@ class GridEncoding(Encoding):
         # static tile-center tensor product, so raster-stride levels use
         # the separable static-lerp path (no variants, no contract check
         # needed — the layout holds by construction).
+        raster_sides = None
+        if raster_side is not None:
+            raster_sides = (
+                (int(raster_side),) * d
+                if np.isscalar(raster_side)
+                else tuple(int(s) for s in raster_side)
+            )
         separable_ok = (
-            raster_side is not None
-            and raster_side**d == batch
+            raster_sides is not None
+            and len(raster_sides) == d
+            and int(np.prod(raster_sides)) == batch
             and d in (2, 3)
             and not self.fixed_point_pos
             and not stochastic
@@ -1013,7 +1029,7 @@ class GridEncoding(Encoding):
                 idx = idx_levels[lvl]
                 if idx is None and strat_bits.get(lvl) == "separable":
                     sep_blocks.append(
-                        self._raster_separable_feats(table, lvl, raster_side)
+                        self._raster_separable_feats(table, lvl, raster_sides)
                     )
                     outs.append(None)
                     continue
@@ -1131,10 +1147,12 @@ class GridEncoding(Encoding):
         y = y.reshape(batch, L * F)
         return self._pad(y)
 
-    def apply_raster(self, params, side: int, max_level: Optional[float] = None):
-        """Encode the ``side^d`` tile-center raster (serving layout:
+    def apply_raster(self, params, side, max_level: Optional[float] = None):
+        """Encode the tile-center raster (serving layout:
         ``utils.sampling.raster_centers`` — sample j at the center of
-        raster tile j, dim 0 fastest).
+        raster tile j, dim 0 fastest). ``side`` is an int (cubic raster,
+        ``side^d`` points) or a per-dim tuple ``(side_0, ..., side_{d-1})``
+        (rectangular — e.g. a w x h image gives ``(w, h)``).
 
         Tile centers satisfy the raster-tile contract by construction, so
         a ``gather_strategy="stratified"`` encoding routes through the
@@ -1160,25 +1178,27 @@ class GridEncoding(Encoding):
         """
         from ..utils.sampling import raster_centers
 
-        x = jnp.asarray(raster_centers(int(side), self.n_dims_to_encode))
-        batch = x.shape[0]
+        d = self.n_dims_to_encode
+        sides = (
+            (int(side),) * d
+            if np.isscalar(side)
+            else tuple(int(s) for s in side)
+        )
+        x = jnp.asarray(raster_centers(sides, d))
         if (
             self.gather_strategy == "stratified"
             and self.raster_max_scale is not None
             and not self.fixed_point_pos
             and not self.stochastic_interpolation
-            and self.n_dims_to_encode in (2, 3)
+            and d in (2, 3)
             and self.interpolation_type
             in (InterpolationType.Linear, InterpolationType.Smoothstep)
-            and round(batch ** (1.0 / self.n_dims_to_encode))
-            ** self.n_dims_to_encode
-            == batch
         ):
             # raster_side activates the separable static-lerp path on
             # raster-stride levels (strictly faster than the stratified
             # variant machinery: no masks, no variants, no contract check).
             return self.apply(
-                params, x, max_level=max_level, raster_side=int(side)
+                params, x, max_level=max_level, raster_side=sides
             )
         return self.apply(params, x, max_level=max_level, stratified=False)
 

@@ -249,14 +249,16 @@ class Trainer:
             jits[key] = jax.jit(_infer)
         return jits[key](self.inference_params(), inputs)
 
-    def inference_raster(self, side: int) -> jnp.ndarray:
+    def inference_raster(self, side) -> jnp.ndarray:
         """Serving fast path for full-raster evaluation: inference params,
-        trimmed fp32 output of shape ``(side^d, n_output_dims)`` in raster
-        order (dim 0 fastest — ``utils.sampling.raster_centers``). Routes
-        through the model's ``apply_raster`` (static-index grid lookups, no
-        per-sample random access) when available; positions never leave the
-        device-side trace. Jitted and cached per ``side``."""
-        side = int(side)
+        trimmed fp32 output of shape ``(prod(sides), n_output_dims)`` in
+        raster order (dim 0 fastest — ``utils.sampling.raster_centers``).
+        ``side`` is an int (cubic raster) or a per-dim tuple (rectangular,
+        e.g. ``(w, h)`` for an image). Routes through the model's
+        ``apply_raster`` (static-index grid lookups, no per-sample random
+        access) when available; positions never leave the device-side
+        trace. Jitted and cached per ``side``."""
+        side = int(side) if np.isscalar(side) else tuple(int(s) for s in side)
         jits = getattr(self, "_jit_raster_cache", None)
         if jits is None:
             jits = self._jit_raster_cache = {}

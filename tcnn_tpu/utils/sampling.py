@@ -75,23 +75,32 @@ def stratified_uniform(
     return (base + jitter) / strata
 
 
-def raster_centers(side: int, dims: int = 2):
-    """Tile-center raster positions, (side^dims, dims) float32 numpy.
+def raster_centers(side, dims: int = 2):
+    """Tile-center raster positions, (prod(sides), dims) float32 numpy.
 
-    Sample ``j`` is the CENTER of raster tile ``j`` (dim 0 fastest, like
+    ``side`` is an int (cubic raster) or a per-dim tuple
+    ``(side_0, ..., side_{dims-1})`` (rectangular). Sample ``j`` is the
+    CENTER of raster tile ``j`` (dim 0 fastest, like
     ``stratified_uniform``) — the jitter-free serving layout consumed by
     ``GridEncoding.apply_raster``, whose static-index fast path derives
     every table row at trace time from exactly these positions.
     """
     import numpy as np
 
-    ids = np.arange(side**dims, dtype=np.int64)
+    sides = (
+        (int(side),) * dims
+        if np.isscalar(side)
+        else tuple(int(s) for s in side)
+    )
+    ids = np.arange(int(np.prod(sides)), dtype=np.int64)
     cols = []
+    stride = 1
     for d in range(dims):
-        base = (ids // side**d) % side
+        base = (ids // stride) % sides[d]
         cols.append(
-            (base.astype(np.float32) + np.float32(0.5)) / np.float32(side)
+            (base.astype(np.float32) + np.float32(0.5)) / np.float32(sides[d])
         )
+        stride *= sides[d]
     return np.stack(cols, axis=1)
 
 

@@ -136,3 +136,24 @@ def test_model_and_trainer_raster():
     assert fast.shape == (side * side, 3)
     assert np.isfinite(fast).all()
     np.testing.assert_allclose(ref, fast, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "n_dims,sides,interp",
+    [
+        (2, (48, 64), "Linear"),
+        (2, (40, 24), "Smoothstep"),
+        (3, (8, 12, 16), "Linear"),
+    ],
+)
+def test_rectangular_raster_matches_apply(n_dims, sides, interp):
+    # Rectangular rasters (e.g. a w x h image): per-dim static separable
+    # lerp must match the per-sample fallback on the same positions.
+    e = _enc(n_dims, interpolation=interp)
+    params = _params(e, seed=7)
+    x = jnp.asarray(raster_centers(sides, n_dims))
+    ref = np.asarray(jax.jit(lambda p: e.apply(p, x, stratified=False))(params))
+    fast = np.asarray(jax.jit(lambda p: e.apply_raster(p, sides))(params))
+    assert fast.shape[0] == int(np.prod(sides))
+    assert np.isfinite(fast).all()
+    np.testing.assert_allclose(ref, fast, rtol=2e-6, atol=2e-6)
