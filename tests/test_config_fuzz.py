@@ -29,6 +29,7 @@ ENCODINGS = [
             r.choice(["per_level", "quad", "fused", "stratified"])
         ),
         "scatter_strategy": str(r.choice(["auto", "xla", "factored"])),
+        "quad_pack": str(r.choice(["auto", "hybrid", "packed", "off"])),
     },
     lambda r: {"otype": "DenseGrid", "n_levels": int(r.integers(2, 5)),
                "base_resolution": int(r.choice([2, 4, 8]))},
