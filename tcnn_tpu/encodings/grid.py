@@ -251,6 +251,16 @@ class GridEncoding(Encoding):
         # masked-strip materialization and a per-level (not global) table.
         self.factored_min_rows = 65536
         self.factored_max_size = 65536
+        # Storage dtype of the lookup tables on the RANDOM-ACCESS forward
+        # paths (quad/hybrid/per-level vertex gathers): "float32" (default)
+        # | "float16" (the reference's fp16 param regime, grid.h params_type
+        # — 10 mantissa bits) | "bfloat16". Halves the materialized
+        # quad-table bytes and gather traffic; interpolation stays f32
+        # (better than the reference, whose lerp is half too). Master
+        # params and gradients remain fp32 — only the forward table copy is
+        # rounded. The stratified/raster STATIC paths keep f32 (their MXU
+        # selects rely on exact operands).
+        self.table_dtype = "float32"
 
         d = self.n_dims_to_encode
         log2_scale = math.log2(self.per_level_scale)
@@ -356,7 +366,8 @@ class GridEncoding(Encoding):
     def _scatter_mode(self, n_rows: int, size: int) -> str:
         if self.scatter_strategy in (
             "xla", "xla_pib", "xla_half", "xla_half_sr", "factored",
-            "factored_f32", "factored_sr", "factored_kernel", "drop",
+            "factored_f32", "factored_sr", "factored_kernel",
+            "factored_fused", "drop",
             "xla_f32_b", "xla_half_b", "xla_half_ob", "xla_half_bb",
         ):
             return self.scatter_strategy
@@ -388,6 +399,14 @@ class GridEncoding(Encoding):
             return [res**k for k in range(self.n_dims_to_encode)]
         return self._corner_strides[lvl]
 
+    def _table_cast(self, arr):
+        """Round a forward lookup table to ``table_dtype`` (no-op for f32)."""
+        if self.table_dtype == "float16":
+            return arr.astype(jnp.float16)
+        if self.table_dtype == "bfloat16":
+            return arr.astype(jnp.bfloat16)
+        return arr
+
     def _quad_table(self, table, lvl: int, strides: Optional[List[int]] = None):
         """Per-level (size, 2^d * F) cell table: row i holds the features of
         all 2^d corners of the cell whose base-vertex index is i. Built with
@@ -395,7 +414,7 @@ class GridEncoding(Encoding):
         one scatter row per cell plus cheap roll adjoints)."""
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
-        sl = table[off : off + size]
+        sl = self._table_cast(table[off : off + size])
         if strides is None:
             strides = self._level_strides(lvl)
         cols = []
@@ -429,7 +448,7 @@ class GridEncoding(Encoding):
         K = self._pack_k()
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
-        flat = params[F * off : F * (off + size)]
+        flat = self._table_cast(params[F * off : F * (off + size)])
         strides = self._level_strides(lvl)
         rolls = []
         for cbits in self._corners:
@@ -1100,11 +1119,14 @@ class GridEncoding(Encoding):
                     off = int(self.offset_table[lvl])
                     mode = self._scatter_mode(idx.size, size)
                     if mode == "xla":
-                        feats = table[idx]  # (B, C, F)
+                        feats = self._table_cast(table)[idx]  # (B, C, F)
                     else:
                         feats = gather_rows(
-                            table[off : off + size], idx - jnp.int32(off), mode
+                            self._table_cast(table[off : off + size]),
+                            idx - jnp.int32(off),
+                            mode,
                         )
+                feats = feats.astype(jnp.float32)
                 if stochastic:
                     outs.append(
                         _stochastic_combine(
@@ -1216,6 +1238,7 @@ class GridEncoding(Encoding):
             "gather_strategy": self.gather_strategy,
             "scatter_strategy": self.scatter_strategy,
             "quad_pack": self.quad_pack,
+            "table_dtype": self.table_dtype,
         }
         if self.raster_max_scale is not None:
             hp["stratified_max_variants"] = self.stratified_max_variants
@@ -1285,6 +1308,9 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     enc.gather_strategy = json_value(encoding, "gather_strategy", "per_level")
     enc.scatter_strategy = json_value(encoding, "scatter_strategy", "auto")
     enc.quad_pack = json_value(encoding, "quad_pack", "auto")
+    enc.table_dtype = json_value(encoding, "table_dtype", "float32")
+    if enc.table_dtype not in ("float32", "float16", "bfloat16"):
+        raise ValueError(f"invalid table_dtype {enc.table_dtype!r}")
     if enc.gather_strategy == "stratified":
         # The stratified fast path's static tile->cell maps require raster
         # index strides on its levels; which levels those are is part of

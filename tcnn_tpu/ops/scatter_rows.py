@@ -391,6 +391,23 @@ def scatter_rows_factored(
         out = jnp.dot(
             oh_hi.T, strip(rows_sr), preferred_element_type=jnp.float32
         )
+    elif rounding == "pair_fused":
+        # Same compensated pair, ONE matmul: [value-strip | residual-strip]
+        # concatenated along lanes so the (B, hi) one-hot operand streams
+        # through the MXU once instead of twice (identical FLOPs and
+        # per-element summation order — bitwise-equal to "pair").
+        oh_hi = (iota_hi == hi[:, None]).astype(compute_dtype)
+        rows32 = rows.astype(jnp.float32)
+        r_hi = jax.lax.optimization_barrier(rows32.astype(compute_dtype))
+        r_res = ((rows32 - r_hi.astype(jnp.float32)) * 256.0).astype(
+            compute_dtype
+        )
+        strips2 = jnp.concatenate([strip(r_hi), strip(r_res)], axis=1)
+        out2 = jnp.dot(
+            oh_hi.T, strips2, preferred_element_type=jnp.float32
+        )
+        lr = lo_width * R
+        out = out2[:, :lr] + (1.0 / 256.0) * out2[:, lr:]
     else:
         oh_hi = (iota_hi == hi[:, None]).astype(compute_dtype)
         rows32 = rows.astype(jnp.float32)
@@ -422,6 +439,10 @@ def _factored_scatter_of(scatter: str, size: int, r: int, out_dtype):
             )
         elif scatter == "factored_sr":
             dt = scatter_rows_factored(flat_idx, flat_g, size, rounding="sr")
+        elif scatter == "factored_fused":
+            dt = scatter_rows_factored(
+                flat_idx, flat_g, size, rounding="pair_fused"
+            )
         else:
             dt = scatter_rows_factored(flat_idx, flat_g, size)
         return dt.astype(out_dtype)

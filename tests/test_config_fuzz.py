@@ -28,7 +28,9 @@ ENCODINGS = [
         "gather_strategy": str(
             r.choice(["per_level", "quad", "fused", "stratified"])
         ),
-        "scatter_strategy": str(r.choice(["auto", "xla", "factored"])),
+        "scatter_strategy": str(
+            r.choice(["auto", "xla", "factored", "factored_fused"])
+        ),
         "quad_pack": str(r.choice(["auto", "hybrid", "packed", "off"])),
     },
     lambda r: {"otype": "DenseGrid", "n_levels": int(r.integers(2, 5)),

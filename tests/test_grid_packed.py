@@ -168,3 +168,39 @@ def test_packed_hyperparam_roundtrip():
     assert hp["quad_pack"] == "auto"
     e2 = tc.create_encoding(2, hp, 16)
     assert e2.quad_pack == "auto"
+
+
+@pytest.mark.parametrize("tdtype", ["float16", "bfloat16"])
+@pytest.mark.parametrize("mode", ["off", "auto"])
+def test_table_dtype_close_and_differentiable(mode, tdtype):
+    # table_dtype rounds the FORWARD table copy only (the reference stores
+    # grid params in fp16 outright, grid.h params_type); outputs must match
+    # the f32 table to storage-rounding tolerance and gradients must flow
+    # back to the fp32 master params.
+    a = _enc(3, mode)
+    b = _enc(3, mode, table_dtype=tdtype)
+    assert b.hyperparams()["table_dtype"] == tdtype
+    r = np.random.default_rng(3)
+    params = jnp.asarray(
+        (r.standard_normal(a.n_params) * 0.1).astype(np.float32)
+    )
+    x = jnp.asarray(r.uniform(0, 1, (256, 3)), jnp.float32)
+    ya = np.asarray(jax.jit(a.apply)(params, x))
+    yb = np.asarray(jax.jit(b.apply)(params, x))
+    tol = 2e-3 if tdtype == "float16" else 2e-2  # ~ulp of the storage type
+    np.testing.assert_allclose(ya, yb, rtol=tol, atol=tol)
+
+    def loss(p):
+        return (b.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+    g = np.asarray(jax.jit(jax.grad(loss))(params))
+    assert g.dtype == np.float32 and np.isfinite(g).all()
+    ga = np.asarray(
+        jax.jit(jax.grad(lambda p: (a.apply(p, x).astype(jnp.float32) ** 2).sum()))(params)
+    )
+    np.testing.assert_allclose(g, ga, rtol=0.1, atol=2 * tol)
+
+
+def test_table_dtype_invalid_rejected():
+    with pytest.raises(ValueError):
+        _enc(2, "auto", table_dtype="int8")

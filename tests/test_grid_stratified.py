@@ -137,6 +137,28 @@ def test_factored_scatter_matches_xla():
     np.testing.assert_allclose(got32, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_factored_fused_pair_bitwise_matches_pair():
+    # "pair_fused" concatenates the value/residual strips along lanes and
+    # runs ONE matmul — same per-element summation order as the two-pass
+    # pair, so the result is bitwise identical.
+    from tcnn_tpu.ops.scatter_rows import scatter_rows_factored
+
+    r = np.random.default_rng(17)
+    idx = jnp.asarray(r.integers(0, 1000, 4096), jnp.int32)
+    rows = jnp.asarray(r.normal(size=(4096, 8)), jnp.float32)
+    two = np.asarray(
+        jax.jit(lambda i, v: scatter_rows_factored(i, v, 1000))(idx, rows)
+    )
+    one = np.asarray(
+        jax.jit(
+            lambda i, v: scatter_rows_factored(
+                i, v, 1000, rounding="pair_fused"
+            )
+        )(idx, rows)
+    )
+    np.testing.assert_array_equal(one, two)
+
+
 def test_stochastic_round_bf16_properties():
     from tcnn_tpu.ops.scatter_rows import _stochastic_round_bf16
 
