@@ -9,11 +9,33 @@ weights instead of an XLA matmul chain).
 
 from __future__ import annotations
 
+import contextlib
+
 from ..common import Activation
 from ..ops.ffmlp import ffmlp_apply
 from .mlp import MLP
 
 FFMLP_WIDTHS = (16, 32, 64, 128)
+
+# Trace-time serving flag: inference and training want different execution
+# strategies (measured, v5e, bench_result_ours.json — the fused kernel wins
+# TRAINING at widths >= 64 but INFERENCE only at 128, where the weights
+# no longer fit XLA's fusion appetite). jit traces once inside the context,
+# so the routing bakes into the serving executable.
+_INFERENCE_MODE = [False]
+
+
+@contextlib.contextmanager
+def ffmlp_inference_mode():
+    """While active, FullyFusedMLP routes ``apply`` with the measured
+    inference-optimal strategy (Pallas kernel only at width 128) instead of
+    the training-optimal one, unless the user forced ``use_pallas``."""
+    prev = _INFERENCE_MODE[0]
+    _INFERENCE_MODE[0] = True
+    try:
+        yield
+    finally:
+        _INFERENCE_MODE[0] = prev
 
 
 class FullyFusedMLP(MLP):
@@ -47,6 +69,7 @@ class FullyFusedMLP(MLP):
             output_activation=output_activation,
             output_alignment=output_alignment,
         )
+        self._use_pallas_forced = use_pallas is not None
         if use_pallas is None:
             # Width-aware default (measured, v5e — benchmarks/
             # bench_result_ours.json): the fused kernel wins at widths
@@ -56,7 +79,11 @@ class FullyFusedMLP(MLP):
         self.use_pallas = use_pallas
 
     def apply(self, params, x):
-        if not self.use_pallas:
+        use_pallas = self.use_pallas
+        if _INFERENCE_MODE[0] and not self._use_pallas_forced:
+            # Inference-optimal routing (see ffmlp_inference_mode).
+            use_pallas = self.width >= 128
+        if not use_pallas:
             return super().apply(params, x)
         dt = self.compute_dtype
         ws = self._weights(params)

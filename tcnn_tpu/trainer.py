@@ -247,7 +247,10 @@ class Trainer:
                 return out[:, : self.model.n_output_dims].astype(jnp.float32)
 
             jits[key] = jax.jit(_infer)
-        return jits[key](self.inference_params(), inputs)
+        from .networks.fully_fused import ffmlp_inference_mode
+
+        with ffmlp_inference_mode():  # trace-time serving-optimal routing
+            return jits[key](self.inference_params(), inputs)
 
     def inference_raster(self, side) -> jnp.ndarray:
         """Serving fast path for full-raster evaluation: inference params,
@@ -286,7 +289,10 @@ class Trainer:
                     )
 
             jits[side] = jax.jit(_infer)
-        return jits[side](self.inference_params())
+        from .networks.fully_fused import ffmlp_inference_mode
+
+        with ffmlp_inference_mode():  # trace-time serving-optimal routing
+            return jits[side](self.inference_params())
 
     # -- hyperparams ------------------------------------------------------------
     def update_hyperparams(self, params: Dict):

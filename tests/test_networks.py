@@ -170,3 +170,40 @@ def test_lane_packed_ffmlp_matches_unpacked():
         np.testing.assert_allclose(
             np.asarray(da), np.asarray(db), rtol=1e-4, atol=1e-4
         )
+
+
+def test_ffmlp_inference_mode_routing():
+    # Serving routes FFMLP through the measured inference-optimal strategy
+    # (XLA chain below width 128) while training keeps the fused kernel at
+    # width >= 64; an explicit use_pallas= overrides both.
+    from tcnn_tpu.networks.fully_fused import (
+        FullyFusedMLP,
+        _INFERENCE_MODE,
+        ffmlp_inference_mode,
+    )
+
+    assert not _INFERENCE_MODE[0]
+    with ffmlp_inference_mode():
+        assert _INFERENCE_MODE[0]
+        with ffmlp_inference_mode():
+            assert _INFERENCE_MODE[0]
+        assert _INFERENCE_MODE[0]
+    assert not _INFERENCE_MODE[0]
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    net = FullyFusedMLP(16, 4, n_neurons=64, n_hidden_layers=1)
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.standard_normal(net.n_params).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    y_train = np.asarray(net.apply(p, x), np.float32)
+    with ffmlp_inference_mode():
+        y_serve = np.asarray(net.apply(p, x), np.float32)
+    # Same function, different execution strategy: bf16-roundoff agreement.
+    np.testing.assert_allclose(y_train, y_serve, rtol=2e-2, atol=2e-2)
+
+    forced = FullyFusedMLP(16, 4, n_neurons=64, n_hidden_layers=1,
+                           use_pallas=True)
+    assert forced._use_pallas_forced and forced.use_pallas
