@@ -63,6 +63,18 @@ def main():
         help="Override the HashGrid gather strategy (default: 'stratified' "
         "with the stratified sampler, 'quad' otherwise).",
     )
+    parser.add_argument(
+        "--scatter-strategy",
+        default=None,
+        help="Override the HashGrid scatter strategy (default 'auto'; "
+        "e.g. 'factored_fused', 'factored_sr', 'xla_half').",
+    )
+    parser.add_argument(
+        "--table-dtype",
+        default=None,
+        help="Forward lookup-table storage dtype override "
+        "('float16'/'bfloat16'; default f32).",
+    )
     args = parser.parse_args()
 
     import jax
@@ -106,6 +118,14 @@ def main():
             "gather_strategy": args.gather_strategy
             or ("stratified" if args.sampler == "stratified" else "quad"),
             "stratified_max_variants": args.stratified_variants,
+            **(
+                {"scatter_strategy": args.scatter_strategy}
+                if args.scatter_strategy
+                else {}
+            ),
+            **(
+                {"table_dtype": args.table_dtype} if args.table_dtype else {}
+            ),
         },
         "network": {
             "otype": "FullyFusedMLP",
