@@ -156,3 +156,15 @@ def test_gather_rows_second_order():
         (jnp.ones_like(table),),
     )
     assert np.isfinite(float(t))
+
+
+def test_eikonal_fused_pair_and_half_table():
+    # New-knob coverage: the fused-pair factored transpose and half-
+    # precision forward tables must both remain twice-differentiable.
+    model = _model("quad", "factored_fused", "CutlassMLP")
+    model.model.encoding.table_dtype = "float16"
+    params = model.trainer.params
+    x = stratified_uniform(jax.random.PRNGKey(2), 256, 2)
+    g = np.asarray(_eikonal_grad(model, params, x))
+    assert g.shape == params.shape and np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
