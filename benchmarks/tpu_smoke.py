@@ -111,6 +111,19 @@ CASES = {
         "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
                     "n_hidden_layers": 2},
     },
+    "fused_pair_f16_table_adam": {
+        # Round-2 knobs: single-matmul compensated pair scatter + fp16
+        # forward tables (the reference's param-storage regime).
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam"},
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "log2_hashmap_size": 12, "base_resolution": 8,
+                     "hash": "CoherentAdditive", "gather_strategy": "quad",
+                     "scatter_strategy": "factored_fused",
+                     "table_dtype": "float16"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
 }
 
 
