@@ -555,6 +555,15 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
                     mode="promise_in_bounds",
                 )
             ).astype(out_dtype)
+    # NOTE (negative result, 2026-08-17): an "xla_half_pair" mode —
+    # emitter scatter of double-width [value | 256*residual] bf16 rows,
+    # hoping for factored-pair accuracy at bf16-emitter speed — does NOT
+    # work: the residual channel only compensates per-CONTRIBUTION
+    # quantization, while the emitter's bf16 partial-sum accumulation
+    # rounds at ADD time, which no ride-along channel can observe.
+    # Measured identical error to plain xla_half (5.6e-2 rel at 1024
+    # contributions/slot). The factored pair avoids this because the MXU
+    # accumulates in fp32 (preferred_element_type).
     elif scatter == "xla_half_sr":
         # xla_half with stochastically-rounded contributions: same emitter
         # speed, unbiased first rounding (the in-emitter bf16 partial-sum

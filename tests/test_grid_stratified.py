@@ -519,3 +519,4 @@ def test_factored_kernel_scatter_in_grid():
     ga = np.asarray(jax.grad(loss(a))(params))
     gb = np.asarray(jax.grad(loss(b))(params))
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-3)
+
