@@ -399,13 +399,19 @@ class GridEncoding(Encoding):
             return [res**k for k in range(self.n_dims_to_encode)]
         return self._corner_strides[lvl]
 
-    def _table_cast(self, arr):
-        """Round a forward lookup table to ``table_dtype`` (no-op for f32)."""
+    def _forward_dtype(self):
+        """Storage dtype for FORWARD lookups (None = f32 tables).
+
+        Applied only inside hand-written linear pairs (gather_rows'
+        ``forward_dtype``, the hybrid p_fn) so gradient accumulation
+        never runs in the half dtype — casting tables at call sites ties
+        autodiff's scatter-add transpose to fp16/bf16 accumulation, which
+        overflows under loss-scaled gradients (found 2026-08-17)."""
         if self.table_dtype == "float16":
-            return arr.astype(jnp.float16)
+            return jnp.float16
         if self.table_dtype == "bfloat16":
-            return arr.astype(jnp.bfloat16)
-        return arr
+            return jnp.bfloat16
+        return None
 
     def _quad_table(self, table, lvl: int, strides: Optional[List[int]] = None):
         """Per-level (size, 2^d * F) cell table: row i holds the features of
@@ -414,7 +420,7 @@ class GridEncoding(Encoding):
         one scatter row per cell plus cheap roll adjoints)."""
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
-        sl = self._table_cast(table[off : off + size])
+        sl = table[off : off + size]
         if strides is None:
             strides = self._level_strides(lvl)
         cols = []
@@ -448,7 +454,7 @@ class GridEncoding(Encoding):
         K = self._pack_k()
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
-        flat = self._table_cast(params[F * off : F * (off + size)])
+        flat = params[F * off : F * (off + size)]
         strides = self._level_strides(lvl)
         rolls = []
         for cbits in self._corners:
@@ -501,6 +507,13 @@ class GridEncoding(Encoding):
 
         def p_fn(i, p):
             quad = self._quad_table(p.reshape(-1, F), lvl)
+            fd = self._forward_dtype()
+            if fd is not None:
+                # Storage rounding inside the linear pair: half-width
+                # gather traffic; t_fn (the transpose) never sees it.
+                return quad.astype(fd).at[i].get(
+                    mode="promise_in_bounds"
+                ).astype(quad.dtype)
             return quad.at[i].get(mode="promise_in_bounds")
 
         def t_fn(i, dfeats):
@@ -1087,7 +1100,10 @@ class GridEncoding(Encoding):
                         # idx % K per corner block elementwise. Exact — the
                         # same rows/weights as the unpacked path.
                         qp = self._quad_table_packed(params, lvl)
-                        g = gather_rows(qp, idx // K, mode)  # (B, 128)
+                        g = gather_rows(
+                            qp, idx // K, mode,
+                            forward_dtype=self._forward_dtype(),
+                        )  # (B, 128)
                         g = g.reshape(batch, n_corners, K, F)
                         sel = jax.nn.one_hot(idx % K, K, dtype=g.dtype)
                         feats = jnp.sum(g * sel[:, None, :, None], axis=2)
@@ -1104,7 +1120,10 @@ class GridEncoding(Encoding):
                                 preferred_element_type=jnp.float32,
                             ).astype(quad.dtype)
                         elif self.index_mode is None:
-                            feats = gather_rows(quad, idx, mode)
+                            feats = gather_rows(
+                                quad, idx, mode,
+                                forward_dtype=self._forward_dtype(),
+                            )
                         else:
                             feats = quad.at[idx].get(mode=self.index_mode)
                         feats = feats.reshape(batch, n_corners, F)
@@ -1119,12 +1138,16 @@ class GridEncoding(Encoding):
                     off = int(self.offset_table[lvl])
                     mode = self._scatter_mode(idx.size, size)
                     if mode == "xla":
-                        feats = self._table_cast(table)[idx]  # (B, C, F)
+                        feats = gather_rows(
+                            table, idx, "xla",
+                            forward_dtype=self._forward_dtype(),
+                        )  # (B, C, F)
                     else:
                         feats = gather_rows(
-                            self._table_cast(table[off : off + size]),
+                            table[off : off + size],
                             idx - jnp.int32(off),
                             mode,
+                            forward_dtype=self._forward_dtype(),
                         )
                 feats = feats.astype(jnp.float32)
                 if stochastic:
@@ -1307,6 +1330,14 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     # "quad" | "stratified"); see PLAN.md.
     enc.gather_strategy = json_value(encoding, "gather_strategy", "per_level")
     enc.scatter_strategy = json_value(encoding, "scatter_strategy", "auto")
+    if enc.scatter_strategy not in (
+        "auto", "xla", "xla_pib", "xla_half", "xla_half_sr", "factored",
+        "factored_f32", "factored_sr", "factored_kernel", "factored_fused",
+        "drop", "xla_f32_b", "xla_half_b", "xla_half_ob", "xla_half_bb",
+    ):
+        raise ValueError(
+            f"invalid scatter_strategy {enc.scatter_strategy!r}"
+        )
     enc.quad_pack = json_value(encoding, "quad_pack", "auto")
     enc.table_dtype = json_value(encoding, "table_dtype", "float32")
     if enc.table_dtype not in ("float32", "float16", "bfloat16"):

@@ -10,6 +10,7 @@ weights instead of an XLA matmul chain).
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from ..common import Activation
 from ..ops.ffmlp import ffmlp_apply
@@ -21,21 +22,28 @@ FFMLP_WIDTHS = (16, 32, 64, 128)
 # strategies (measured, v5e, bench_result_ours.json — the fused kernel wins
 # TRAINING at widths >= 64 but INFERENCE only at 128, where the weights
 # no longer fit XLA's fusion appetite). jit traces once inside the context,
-# so the routing bakes into the serving executable.
-_INFERENCE_MODE = [False]
+# so the routing bakes into the serving executable. Thread-local: a trace
+# running on another thread (e.g. a training re-jit racing a serving call)
+# must not pick up this thread's serving flag.
+_MODE = threading.local()
+
+
+def _in_inference_mode() -> bool:
+    return getattr(_MODE, "inference", False)
 
 
 @contextlib.contextmanager
 def ffmlp_inference_mode():
-    """While active, FullyFusedMLP routes ``apply`` with the measured
-    inference-optimal strategy (Pallas kernel only at width 128) instead of
-    the training-optimal one, unless the user forced ``use_pallas``."""
-    prev = _INFERENCE_MODE[0]
-    _INFERENCE_MODE[0] = True
+    """While active (on this thread), FullyFusedMLP routes ``apply`` with
+    the measured inference-optimal strategy (Pallas kernel only at width
+    128) instead of the training-optimal one, unless the user forced
+    ``use_pallas`` (constructor argument or attribute assignment)."""
+    prev = _in_inference_mode()
+    _MODE.inference = True
     try:
         yield
     finally:
-        _INFERENCE_MODE[0] = prev
+        _MODE.inference = prev
 
 
 class FullyFusedMLP(MLP):
@@ -76,11 +84,22 @@ class FullyFusedMLP(MLP):
             # >= 64 (2.3x on training at 128); at 16/32 the MXU runs at
             # <= 1/16 occupancy and XLA's fused matmul chain is faster.
             use_pallas = n_neurons >= 64
-        self.use_pallas = use_pallas
+        self._use_pallas = use_pallas
+
+    @property
+    def use_pallas(self) -> bool:
+        return self._use_pallas
+
+    @use_pallas.setter
+    def use_pallas(self, value: bool):
+        # Attribute assignment is an explicit user override (the forcing
+        # pattern the tests use) — honor it in inference mode too.
+        self._use_pallas = bool(value)
+        self._use_pallas_forced = True
 
     def apply(self, params, x):
-        use_pallas = self.use_pallas
-        if _INFERENCE_MODE[0] and not self._use_pallas_forced:
+        use_pallas = self._use_pallas
+        if _in_inference_mode() and not self._use_pallas_forced:
             # Inference-optimal routing (see ffmlp_inference_mode).
             use_pallas = self.width >= 128
         if not use_pallas:

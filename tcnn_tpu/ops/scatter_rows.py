@@ -450,12 +450,26 @@ def _factored_scatter_of(scatter: str, size: int, r: int, out_dtype):
     return ft
 
 
-def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
+def gather_rows(
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    scatter: str = "xla",
+    forward_dtype=None,
+):
     """Row gather ``table[idx]`` whose transpose (the autodiff backward)
     scatter strategy is selectable: "xla" (the plain scatter-add emitter)
     or "factored"/"factored_f32" (``scatter_rows_factored``, dense MXU
     work). idx may be any integer shape; features are the trailing axis of
     ``table``.
+
+    ``forward_dtype`` (e.g. float16) rounds the table INSIDE the forward
+    half of the linear pair before gathering — halved gather traffic —
+    and converts the rows back to the table dtype on the way out, so the
+    cast is invisible to autodiff: cotangents stay in the table dtype
+    end-to-end and the transpose accumulates exactly as without the cast.
+    (Casting the table at the CALL SITE instead would tie the backward's
+    scatter accumulation to the half dtype — fp16 scatter-add overflows
+    under loss-scaled gradients; found and fixed 2026-08-17.)
 
     Differentiable at ANY order: the factored strategies are built on
     ``jax.custom_derivatives.linear_call`` (gather is linear in the table;
@@ -466,13 +480,24 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
     linear_call batching rule in jax 0.9) it falls back to plain indexing:
     identical values, XLA-emitter backward.
     """
-    if scatter == "xla":
+    if forward_dtype is not None and forward_dtype == table.dtype:
+        forward_dtype = None
+    if scatter == "xla" and forward_dtype is None:
         # Plain indexing IS the op: fully composable, and autodiff derives
         # the (deterministic) XLA scatter-add transpose.
         return table[idx]
     size, r = table.shape
     out_dtype = table.dtype
-    if scatter == "xla_pib":
+    if scatter == "xla":
+        # forward_dtype set: keep the default transpose semantics (f32
+        # scatter-add accumulation) explicit in a linear pair.
+        def ft(i, g):
+            return (
+                jnp.zeros((size, r), out_dtype)
+                .at[i.reshape(-1)]
+                .add(g.reshape(-1, r).astype(out_dtype))
+            )
+    elif scatter == "xla_pib":
         # Same emitter, but with bounds checks promised away on BOTH
         # directions (indices are %-reduced by construction). The default
         # transpose of a plain gather keeps XLA's checked scatter mode.
@@ -582,17 +607,28 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, scatter: str = "xla"):
             ).astype(out_dtype)
     else:
         ft = _factored_scatter_of(scatter, size, r, table.dtype)
+    def p_fn(i, t):
+        if forward_dtype is not None:
+            # Storage rounding lives INSIDE the linear pair: the gather
+            # reads half-width rows; the result converts straight back so
+            # cotangents/transpose never see the half dtype.
+            t = t.astype(forward_dtype)
+        rows = (
+            t.at[i].get(mode="promise_in_bounds")
+            if scatter == "xla_pib"
+            else t[i]
+        )
+        return rows.astype(out_dtype) if forward_dtype is not None else rows
+
     try:
         return jax.custom_derivatives.linear_call(
-            lambda i, t: t.at[i].get(mode="promise_in_bounds")
-            if scatter == "xla_pib"
-            else t[i],
+            p_fn,
             lambda i, g: ft(i, g),
             idx,
             table,
         )
     except NotImplementedError:  # vmap: no batching rule for linear_call
-        return table[idx]
+        return p_fn(idx, table)
 
 
 def scatter_rows_factored_batched(

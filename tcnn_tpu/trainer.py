@@ -307,6 +307,8 @@ class Trainer:
         )
         if hasattr(self, "_jit_inference_cache"):
             del self._jit_inference_cache
+        if hasattr(self, "_jit_raster_cache"):
+            del self._jit_raster_cache
 
     # -- serialization (reference: trainer.h:442-482) -------------------------
     def serialize(self, serialize_optimizer: bool = False) -> Dict:

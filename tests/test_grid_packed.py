@@ -204,3 +204,65 @@ def test_table_dtype_close_and_differentiable(mode, tdtype):
 def test_table_dtype_invalid_rejected():
     with pytest.raises(ValueError):
         _enc(2, "auto", table_dtype="int8")
+
+
+def test_table_dtype_gradients_accumulate_f32():
+    # Regression (review 2026-08-17): half forward tables must NOT tie
+    # gradient accumulation to the half dtype — fp16 scatter-add overflows
+    # under loss-scaled cotangents. The cast lives inside the linear
+    # pair's forward, so the transpose accumulates in f32.
+    from tcnn_tpu.ops.scatter_rows import gather_rows
+
+    size, rows_n, R = 64, 65536, 4
+    r = np.random.default_rng(5)
+    idx = jnp.asarray(r.integers(0, size, rows_n), jnp.int32)
+    table = jnp.asarray(r.standard_normal((size, R)).astype(np.float32))
+
+    for mode in ("xla", "xla_pib", "factored"):
+        def f(t):
+            # Constant large cotangent: per-slot sums ~7e7 >> fp16 max.
+            return (gather_rows(t, idx, mode,
+                                forward_dtype=jnp.float16) * 7e4).sum()
+
+        g = np.asarray(jax.grad(f)(table))
+        assert np.isfinite(g).all(), mode
+        exact = np.zeros((size, R), np.float32)
+        np.add.at(exact, np.asarray(idx),
+                  np.full((rows_n, R), 7e4, np.float32))
+        np.testing.assert_allclose(g, exact, rtol=1e-3), mode
+
+    # Forward values ARE rounded to fp16 storage.
+    rows_half = np.asarray(gather_rows(table, idx, "xla",
+                                       forward_dtype=jnp.float16))
+    expect = np.asarray(table).astype(np.float16).astype(np.float32)[
+        np.asarray(idx)
+    ]
+    np.testing.assert_array_equal(rows_half, expect)
+    assert rows_half.dtype == np.float32
+
+
+def test_table_dtype_full_model_overflow_regression():
+    # End-to-end: fp16 tables + default loss scale + Adam must stay finite
+    # (the pre-fix code NaN'd params after one step at modest scales).
+    cfg = dict(
+        otype="HashGrid", n_levels=4, n_features_per_level=2,
+        log2_hashmap_size=8, base_resolution=4, per_level_scale=1.5,
+        hash="CoherentAdditive", gather_strategy="quad",
+        scatter_strategy="xla", table_dtype="float16",
+    )
+    import tcnn_tpu as tc2
+
+    model = tc2.create_from_config(2, 3, {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": cfg,
+        "network": {"otype": "CutlassMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    })
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.uniform(0, 1, (4096, 2)).astype(np.float32))
+    y = jnp.asarray(100.0 * r.uniform(0, 1, (4096, 3)).astype(np.float32))
+    for _ in range(3):
+        loss = float(model.trainer.training_step(x, y))
+        assert np.isfinite(loss)
+    assert np.isfinite(np.asarray(model.trainer.params)).all()

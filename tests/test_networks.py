@@ -178,17 +178,17 @@ def test_ffmlp_inference_mode_routing():
     # width >= 64; an explicit use_pallas= overrides both.
     from tcnn_tpu.networks.fully_fused import (
         FullyFusedMLP,
-        _INFERENCE_MODE,
+        _in_inference_mode,
         ffmlp_inference_mode,
     )
 
-    assert not _INFERENCE_MODE[0]
+    assert not _in_inference_mode()
     with ffmlp_inference_mode():
-        assert _INFERENCE_MODE[0]
+        assert _in_inference_mode()
         with ffmlp_inference_mode():
-            assert _INFERENCE_MODE[0]
-        assert _INFERENCE_MODE[0]
-    assert not _INFERENCE_MODE[0]
+            assert _in_inference_mode()
+        assert _in_inference_mode()
+    assert not _in_inference_mode()
 
     import jax
     import jax.numpy as jnp
@@ -207,3 +207,9 @@ def test_ffmlp_inference_mode_routing():
     forced = FullyFusedMLP(16, 4, n_neurons=64, n_hidden_layers=1,
                            use_pallas=True)
     assert forced._use_pallas_forced and forced.use_pallas
+    # Attribute assignment (the forcing pattern the test suite itself
+    # uses) must also count as an explicit override.
+    assigned = FullyFusedMLP(16, 4, n_neurons=64, n_hidden_layers=1)
+    assert not assigned._use_pallas_forced
+    assigned.use_pallas = True
+    assert assigned._use_pallas_forced and assigned.use_pallas
