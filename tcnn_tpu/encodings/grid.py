@@ -367,7 +367,7 @@ class GridEncoding(Encoding):
         if self.scatter_strategy in (
             "xla", "xla_pib", "xla_half", "xla_half_sr", "factored",
             "factored_f32", "factored_sr", "factored_kernel",
-            "factored_fused", "drop",
+            "factored_kernel_sr", "factored_fused", "drop",
             "xla_f32_b", "xla_half_b", "xla_half_ob", "xla_half_bb",
         ):
             return self.scatter_strategy
@@ -1332,8 +1332,9 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     enc.scatter_strategy = json_value(encoding, "scatter_strategy", "auto")
     if enc.scatter_strategy not in (
         "auto", "xla", "xla_pib", "xla_half", "xla_half_sr", "factored",
-        "factored_f32", "factored_sr", "factored_kernel", "factored_fused",
-        "drop", "xla_f32_b", "xla_half_b", "xla_half_ob", "xla_half_bb",
+        "factored_f32", "factored_sr", "factored_kernel",
+        "factored_kernel_sr", "factored_fused", "drop",
+        "xla_f32_b", "xla_half_b", "xla_half_ob", "xla_half_bb",
     ):
         raise ValueError(
             f"invalid scatter_strategy {enc.scatter_strategy!r}"

@@ -42,6 +42,14 @@ def create_network(
     if kind not in ("mlp", "fullyfusedmlp", "megakernelmlp", "cutlassmlp"):
         raise ValueError(f"Invalid network type: {otype}")
 
+    kw = {}
+    if wants_fused:
+        # TPU-only knob (absent from the reference schema; unknown keys are
+        # ignored there too): in-kernel activation layout, see
+        # ops/ffmlp.DEFAULT_LAYOUT.
+        layout = json_value(network, "layout", None)
+        if layout is not None:
+            kw["layout"] = layout
     return cls(
         input_width=n_input_dims,
         output_width=n_output_dims,
@@ -49,6 +57,7 @@ def create_network(
         n_hidden_layers=n_hidden_layers,
         activation=activation,
         output_activation=output_activation,
+        **kw,
     )
 
 

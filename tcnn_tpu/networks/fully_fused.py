@@ -59,6 +59,7 @@ class FullyFusedMLP(MLP):
         output_activation: Activation = Activation.NONE,
         output_alignment: int = 16,
         use_pallas: bool | None = None,
+        layout: str | None = None,
     ):
         if n_neurons not in FFMLP_WIDTHS:
             raise ValueError(
@@ -77,6 +78,13 @@ class FullyFusedMLP(MLP):
             output_activation=output_activation,
             output_alignment=output_alignment,
         )
+        if layout not in (None, "rm", "cf"):
+            raise ValueError(f"FullyFusedMLP layout must be 'rm' or 'cf', got {layout!r}")
+        # In-kernel activation layout (ops/ffmlp.DEFAULT_LAYOUT): "cf"
+        # keeps the batch in the 128-lane axis (weights-stationary), the
+        # measured win for narrow widths; None defers to the module default
+        # at apply time so a post-measurement default flip applies.
+        self.layout = layout
         self._use_pallas_forced = use_pallas is not None
         if use_pallas is None:
             # Width-aware default (measured, v5e — benchmarks/
@@ -107,10 +115,13 @@ class FullyFusedMLP(MLP):
         dt = self.compute_dtype
         ws = self._weights(params)
         weights_t = tuple(w.astype(dt).T for w in ws)
+        from ..ops.ffmlp import DEFAULT_LAYOUT
+
+        layout = self.layout if self.layout is not None else DEFAULT_LAYOUT
         try:
             return ffmlp_apply(
                 x.astype(dt), weights_t, self.activation,
-                self.output_activation,
+                self.output_activation, layout,
             )
         except (TypeError, ValueError) as e:
             # The fused kernel's custom_vjp supports first-order reverse

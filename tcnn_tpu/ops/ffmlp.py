@@ -54,6 +54,18 @@ DEFAULT_PACK = False
 # row-rate-bound narrow matmuls. Default set by measurement (PLAN.md).
 DEFAULT_KPACK = False
 
+# In-kernel activation layout. "rm" (row-major): activations are
+# (tile_b, width) — width occupies the 128-lane axis, so a width-w MLP
+# uses w/128 of every vreg and MXU pass. "cf" (channel-first /
+# weights-stationary): activations are (width, tile_b) — the BATCH fills
+# the lane axis and the MXU streams the (w, w) weight's rows, so per-pass
+# output-element rate is 128/w higher for narrow widths (the TPU analogue
+# of the reference keeping weights in register fragments and streaming
+# batch fragments through them, fully_fused_mlp.cu:47-129). No XLA-level
+# transpose anywhere: the layout flips ride inside dot_general contraction
+# orders, which the MXU consumes natively.
+DEFAULT_LAYOUT = "rm"
+
 
 def _lane_packing(weights_t: Sequence[jnp.ndarray]) -> int:
     """Samples packed per 128-lane row for narrow MLPs.
@@ -166,6 +178,94 @@ def _mlp_kernel(x_ref, *refs, activation: Activation, output_activation: Activat
     out_ref[...] = h
 
 
+def _dg(a, ca: int, b, cb: int):
+    """dot_general contracting a's axis ``ca`` with b's axis ``cb``; output
+    dims are (a's free axis, b's free axis). fp32 accumulation. This is how
+    the CF kernels express every transpose: as a contraction order the MXU
+    consumes natively, never as a data movement."""
+    if interpret_mode():
+        # XLA:CPU's DotThunk can't run bf16 x bf16 -> f32 for these
+        # contraction orders. f32-multiplying bf16 values under f32
+        # accumulation is bit-identical to the MXU's bf16 mode, so the
+        # interpret path upcasts the operands.
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _cf_stack(h, G):
+    """(w, T) -> (G*w, T/G): stack G batch slabs along sublanes. Slab g is
+    the lane block [g*T/G, (g+1)*T/G) — static slices only, no reshapes
+    (in-kernel reshapes are the Mosaic crash the row-major kpack hit)."""
+    s = h.shape[1] // G
+    return jnp.concatenate(
+        [h[:, g * s : (g + 1) * s] for g in range(G)], axis=0
+    )
+
+
+def _cf_unstack(h2, G):
+    """Inverse of _cf_stack: (G*w, T/G) -> (w, T)."""
+    w = h2.shape[0] // G
+    return jnp.concatenate(
+        [h2[g * w : (g + 1) * w, :] for g in range(G)], axis=1
+    )
+
+
+def _cf_pack_of(weights_t, n_layers: int, tile_b: int) -> int:
+    """Sublane packing degree for the CF kernels: G = 128/w batch slabs
+    stacked so every hidden contraction is exactly 128 — full MXU at any
+    supported width. Requires >= 1 hidden-to-hidden matmul and equal
+    hidden widths."""
+    if n_layers < 3:
+        return 1
+    w = weights_t[0].shape[1]
+    if w >= 128 or 128 % w != 0:
+        return 1
+    if any(wt.shape[1] != w for wt in weights_t[:-1]) or (
+        weights_t[-1].shape[0] != w
+    ):
+        return 1
+    G = 128 // w
+    # Slab lanes (tile_b/G) must stay a multiple of the 128-lane width.
+    if tile_b % (G * 128) != 0:
+        return 1
+    return G
+
+
+def _mlp_kernel_cf(x_ref, *refs, activation: Activation,
+                   output_activation: Activation, n_layers: int, out_dtype,
+                   cfpack: int = 1):
+    """Channel-first fused forward: one batch tile, intermediates (w, tile_b)
+    with the batch in the 128-lane axis. Input/output blocks stay row-major
+    (batch-leading) — the first/last contractions absorb the flips. With
+    ``cfpack`` G > 1, hidden layers run sublane-stacked ((G*w, T/G) slabs,
+    block-diagonal weights): every hidden MXU pass contracts a full 128."""
+    w_refs = refs[:n_layers]
+    out_ref = refs[n_layers]
+    x = x_ref[...]  # (tile_b, in_w)
+    if n_layers == 1:
+        z = _dg(x, 1, w_refs[0][...], 0)  # (tile_b, out)
+        out_ref[...] = activation_fn(z, output_activation).astype(out_dtype)
+        return
+    # Layer 0: contract in_w of (in_w, w) against in_w of (tile_b, in_w)
+    # -> (w, tile_b), channel-first from here on.
+    h = activation_fn(_dg(w_refs[0][...], 0, x, 1), activation).astype(x.dtype)
+    if cfpack > 1:
+        h = _cf_stack(h, cfpack)
+    for i in range(1, n_layers - 1):
+        w = w_refs[i][...]
+        if cfpack > 1:
+            w = _kernel_block_diag(w, cfpack)
+        z = _dg(w, 0, h, 0)  # (w_out[*G], tile_b[/G])
+        h = activation_fn(z, activation).astype(x.dtype)
+    if cfpack > 1:
+        h = _cf_unstack(h, cfpack)
+    z = _dg(h, 0, w_refs[n_layers - 1][...], 0)  # (tile_b, out)
+    out_ref[...] = activation_fn(z, output_activation).astype(out_dtype)
+
+
 def mlp_forward_pallas(
     x: jnp.ndarray,
     weights_t: Sequence[jnp.ndarray],
@@ -174,6 +274,7 @@ def mlp_forward_pallas(
     tile_b: int = DEFAULT_TILE_B,
     pack: bool = DEFAULT_PACK,
     kpack: bool | None = None,
+    layout: str = "rm",
 ) -> jnp.ndarray:
     """Run the fused forward pass.
 
@@ -185,8 +286,14 @@ def mlp_forward_pallas(
       pack: lane-pack narrow widths at the XLA level (see ``_lane_packing``).
       kpack: lane-pack tile slabs INSIDE the kernel (no XLA relayout);
         None = DEFAULT_KPACK. Ignored when ``pack`` already packed.
+      layout: "rm" (row-major activations) or "cf" (channel-first,
+        weights-stationary — see DEFAULT_LAYOUT). "cf" ignores pack/kpack
+        (it already fills the lanes with batch).
     """
     orig_batch = x.shape[0]
+    if layout == "cf":
+        pack = False
+        kpack = False
     G = _lane_packing(weights_t) if pack else 1
     if G > 1:
         weights_t = _pack_block_diag(weights_t, G)
@@ -206,14 +313,24 @@ def mlp_forward_pallas(
         x = jnp.pad(x, ((0, padded_batch - batch), (0, 0)))
 
     grid = (padded_batch // tile_b,)
-    kernel = functools.partial(
-        _mlp_kernel,
-        activation=activation,
-        output_activation=output_activation,
-        n_layers=n_layers,
-        out_dtype=dtype,
-        kpack=kp,
-    )
+    if layout == "cf":
+        kernel = functools.partial(
+            _mlp_kernel_cf,
+            activation=activation,
+            output_activation=output_activation,
+            n_layers=n_layers,
+            out_dtype=dtype,
+            cfpack=_cf_pack_of(weights_t, n_layers, tile_b),
+        )
+    else:
+        kernel = functools.partial(
+            _mlp_kernel,
+            activation=activation,
+            output_activation=output_activation,
+            n_layers=n_layers,
+            out_dtype=dtype,
+            kpack=kp,
+        )
 
     in_specs = [
         pl.BlockSpec((tile_b, in_width), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -314,6 +431,76 @@ def _mlp_bwd_kernel(x_ref, g_ref, *refs, activation: Activation,
     dx_ref[...] = dh.astype(in_dtype)
 
 
+def _mlp_bwd_kernel_cf(x_ref, g_ref, *refs, activation: Activation,
+                       output_activation: Activation, n_layers: int,
+                       in_dtype, cfpack: int = 1):
+    """Channel-first fused-recompute backward. Intermediates (w, tile_b);
+    every dW contraction runs over the full-lane tile_b axis and every
+    layout flip is a dot_general contraction order (no transposes). With
+    ``cfpack`` G > 1 the hidden walk runs sublane-stacked like the forward;
+    block-diagonal dW partials reduce to (w, w) by diagonal-block sum —
+    packed weight-grad wall-clock equals unpacked (G x FLOPs at G x the
+    utilization), while recompute/dgrad gain the full G x."""
+    w_refs = refs[:n_layers]
+    dx_ref = refs[n_layers]
+    dw_refs = refs[n_layers + 1 : 2 * n_layers + 1]
+    ws = [w_refs[i][...] for i in range(n_layers)]
+    x = x_ref[...]  # (tile_b, in_w)
+    g = g_ref[...].astype(jnp.float32)  # (tile_b, out)
+
+    if n_layers == 1:
+        z = _dg(x, 1, ws[0], 0)  # (tile_b, out)
+        delta = _act_vjp(g, z, output_activation).astype(in_dtype)
+        dw_refs[0][...] = _dg(x, 0, delta, 0)[None]  # (in, out), K=tile_b
+        dx_ref[...] = _dg(delta, 1, ws[0], 1).astype(in_dtype)  # (tile_b, in)
+        return
+
+    G = cfpack
+    wbd = [
+        _kernel_block_diag(ws[i], G) if G > 1 else ws[i]
+        for i in range(1, n_layers - 1)
+    ]
+
+    # Forward recompute: hs[i] is layer i's input (CF for i >= 1; hidden
+    # inputs sublane-stacked when G > 1).
+    pres = []
+    z = _dg(ws[0], 0, x, 1)  # (w, tile_b)
+    pres.append(z)
+    h1 = activation_fn(z, activation).astype(in_dtype)
+    if G > 1:
+        h1 = _cf_stack(h1, G)
+    hs = [x, h1]
+    for i in range(1, n_layers - 1):
+        z = _dg(wbd[i - 1], 0, hs[i], 0)  # (w_out[*G], tile_b[/G])
+        pres.append(z)
+        hs.append(activation_fn(z, activation).astype(in_dtype))
+    h_last = hs[n_layers - 1]
+    if G > 1:
+        h_last = _cf_unstack(h_last, G)
+    z_last = _dg(h_last, 0, ws[n_layers - 1], 0)  # (tile_b, out)
+
+    # Last layer (row-major delta), handing a CF dh to the hidden walk.
+    delta = _act_vjp(g, z_last, output_activation).astype(in_dtype)
+    dw_refs[n_layers - 1][...] = _dg(h_last, 1, delta, 0)[None]
+    dh = _dg(ws[n_layers - 1], 1, delta, 1)  # (w, tile_b) f32
+    if G > 1 and n_layers > 2:
+        dh = _cf_stack(dh, G)
+
+    for i in range(n_layers - 2, 0, -1):
+        d16 = _act_vjp(dh, pres[i], activation).astype(in_dtype)
+        dwp = _dg(hs[i], 1, d16, 1)  # (w_in[*G], w_out[*G]), K=tile_b[/G]
+        if G > 1:
+            dwp = _kernel_diag_sum(dwp, G)
+        dw_refs[i][...] = dwp[None]
+        dh = _dg(wbd[i - 1], 1, d16, 0)  # (w_in[*G], tile_b[/G])
+
+    if G > 1 and n_layers > 2:
+        dh = _cf_unstack(dh, G)
+    d16 = _act_vjp(dh, pres[0], activation).astype(in_dtype)
+    dw_refs[0][...] = _dg(x, 0, d16, 1)[None]  # (in_w, w), K=tile_b
+    dx_ref[...] = _dg(d16, 0, ws[0], 1).astype(in_dtype)  # (tile_b, in_w)
+
+
 def mlp_backward_pallas(
     x: jnp.ndarray,
     g: jnp.ndarray,
@@ -323,11 +510,15 @@ def mlp_backward_pallas(
     tile_b: int = DEFAULT_TILE_B,
     pack: bool = DEFAULT_PACK,
     kpack: bool | None = None,
+    layout: str = "rm",
 ):
     """Fused-recompute backward: returns (dx, [dW...]) with dW in the same
     transposed (in, out) layout as ``weights_t``. HBM traffic is x + g +
     per-tile dW partials; all activations live and die in VMEM."""
     orig_batch = x.shape[0]
+    if layout == "cf":
+        pack = False
+        kpack = False
     G = _lane_packing(weights_t) if pack else 1
     if G > 1:
         weights_t = _pack_block_diag(weights_t, G)
@@ -349,14 +540,24 @@ def mlp_backward_pallas(
         g = jnp.pad(g, ((0, padded_batch - batch), (0, 0)))
     n_tiles = padded_batch // tile_b
 
-    kernel = functools.partial(
-        _mlp_bwd_kernel,
-        activation=activation,
-        output_activation=output_activation,
-        n_layers=n_layers,
-        in_dtype=dtype,
-        kpack=kp,
-    )
+    if layout == "cf":
+        kernel = functools.partial(
+            _mlp_bwd_kernel_cf,
+            activation=activation,
+            output_activation=output_activation,
+            n_layers=n_layers,
+            in_dtype=dtype,
+            cfpack=_cf_pack_of(weights_t, n_layers, tile_b),
+        )
+    else:
+        kernel = functools.partial(
+            _mlp_bwd_kernel,
+            activation=activation,
+            output_activation=output_activation,
+            n_layers=n_layers,
+            in_dtype=dtype,
+            kpack=kp,
+        )
     in_specs = [
         pl.BlockSpec((tile_b, in_width), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -409,11 +610,15 @@ def mlp_backward_pallas(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def ffmlp_apply(x, weights_t, activation: Activation, output_activation: Activation):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ffmlp_apply(x, weights_t, activation: Activation,
+                output_activation: Activation, layout: str = DEFAULT_LAYOUT):
     """Differentiable fused MLP: forward on the Pallas kernel, backward via
-    recompute + reverse walk (see module docstring)."""
-    return mlp_forward_pallas(x, tuple(weights_t), activation, output_activation)
+    recompute + reverse walk (see module docstring). ``layout`` selects the
+    in-kernel activation layout ("rm"/"cf" — see DEFAULT_LAYOUT)."""
+    return mlp_forward_pallas(
+        x, tuple(weights_t), activation, output_activation, layout=layout
+    )
 
 
 def _jnp_forward_saving(x, weights_t, activation, output_activation):
@@ -430,8 +635,11 @@ def _jnp_forward_saving(x, weights_t, activation, output_activation):
     return h, pre
 
 
-def _ffmlp_fwd(x, weights_t, activation, output_activation):
-    out = mlp_forward_pallas(x, tuple(weights_t), activation, output_activation)
+def _ffmlp_fwd(x, weights_t, activation, output_activation,
+               layout=DEFAULT_LAYOUT):
+    out = mlp_forward_pallas(
+        x, tuple(weights_t), activation, output_activation, layout=layout
+    )
     return out, (x, tuple(weights_t))
 
 
@@ -443,12 +651,13 @@ def _act_bwd(g, z, act: Activation):
     return vjp(g)[0]
 
 
-def _ffmlp_bwd(activation, output_activation, residuals, g):
+def _ffmlp_bwd(activation, output_activation, layout, residuals, g):
     # Fused-recompute backward kernel: the XLA layer-by-layer form round-
     # trips every activation through HBM and runs ~4x slower (PLAN.md).
     x, weights_t = residuals
     dx, dws = mlp_backward_pallas(
-        x, g.astype(x.dtype), weights_t, activation, output_activation
+        x, g.astype(x.dtype), weights_t, activation, output_activation,
+        layout=layout,
     )
     return dx, tuple(
         dw.astype(w.dtype) for dw, w in zip(dws, weights_t)

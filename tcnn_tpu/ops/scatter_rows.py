@@ -162,15 +162,30 @@ def scatter_rows_serial(
 # ---------------------------------------------------------------------------
 
 
+def _sr_bf16_kernel(x32):
+    """In-kernel value-hashed stochastic bf16 rounding (same scheme as
+    _stochastic_round_bf16 below; integer ops lower fine in Mosaic)."""
+    bits = pltpu.bitcast(x32, jnp.uint32)
+    h = bits * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x85EBCA6B)
+    r = (bits + (h >> 16)) & jnp.uint32(0xFFFF0000)
+    return pltpu.bitcast(r, jnp.float32).astype(jnp.bfloat16)
+
+
 def _factored_kernel(idx_ref, rows_ref, out_ref, *, sub: int, n_sub: int,
-                     lo_width: int, hi_w: int, r_width: int, pair: bool):
+                     lo_width: int, hi_w: int, r_width: int, rounding: str,
+                     unroll: bool):
     """One grid step = one batch macro-tile. For each ``sub``-row chunk:
     build the lo-masked strip (VPU) and the TRANSPOSED hi one-hot in VMEM,
     then one (hi_w, sub) @ (sub, lo_width*R) MXU pass accumulated into the
     f32 partial for this macro-tile. The XLA form of this op
     (``scatter_rows_factored``) round-trips the (B, lo_width*R) strips
     through HBM — the entire point of the kernel is that strips and
-    one-hots here are VMEM transients."""
+    one-hots here are VMEM transients. ``unroll`` emits the chunk loop as
+    straight-line code so Mosaic's scheduler can overlap chunk k+1's VPU
+    one-hot/strip build with chunk k's MXU passes (fori_loop serializes
+    them through the carried accumulator)."""
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_w, sub), 0)
     # 2D column iota: lane c of the strip belongs to lo digit c // R.
     # (A 3D iota/where/reshape formulation crashes the Mosaic remote
@@ -188,11 +203,14 @@ def _factored_kernel(idx_ref, rows_ref, out_ref, *, sub: int, n_sub: int,
         onehot_t = (iota_hi == hi).astype(jnp.bfloat16)  # (hi_w, sub)
         tiled = pltpu.repeat(rows, lo_width, axis=1)  # (sub, lo*R) f32
         strip32 = jnp.where(col_lo == lo, tiled, 0.0)
-        s_hi = strip32.astype(jnp.bfloat16)
+        if rounding == "sr":
+            s_hi = _sr_bf16_kernel(strip32)
+        else:
+            s_hi = strip32.astype(jnp.bfloat16)
         acc = acc + jnp.dot(
             onehot_t, s_hi, preferred_element_type=jnp.float32
         )
-        if pair:
+        if rounding == "pair":
             s_res = ((strip32 - s_hi.astype(jnp.float32)) * 256.0).astype(
                 jnp.bfloat16
             )
@@ -201,9 +219,13 @@ def _factored_kernel(idx_ref, rows_ref, out_ref, *, sub: int, n_sub: int,
             )
         return acc
 
-    out_ref[...] = jax.lax.fori_loop(
-        0, n_sub, body, jnp.zeros((hi_w, lo_width * r_width), jnp.float32)
-    )[None]
+    acc = jnp.zeros((hi_w, lo_width * r_width), jnp.float32)
+    if unroll:
+        for k in range(n_sub):
+            acc = body(k, acc)
+    else:
+        acc = jax.lax.fori_loop(0, n_sub, body, acc)
+    out_ref[...] = acc[None]
 
 
 def scatter_rows_factored_pallas(
@@ -214,6 +236,8 @@ def scatter_rows_factored_pallas(
     pair: bool = True,
     sub: int = 1024,
     n_sub: int = 8,
+    rounding: str | None = None,
+    unroll: bool = True,
 ) -> jnp.ndarray:
     """``scatter_rows_factored`` as ONE fused Pallas kernel.
 
@@ -234,9 +258,15 @@ def scatter_rows_factored_pallas(
         reference's half-precision grid-gradient regime, half the FLOPs).
       sub: rows per in-kernel sub-chunk (VMEM transient size).
       n_sub: sub-chunks per grid step (keep <= 16 for Mosaic).
+      rounding: overrides ``pair`` when given — "pair", "single", or "sr"
+        (value-hashed stochastic bf16 contributions: single-matmul cost,
+        unbiased across steps like the XLA factored_sr mode).
+      unroll: emit the chunk loop unrolled (see _factored_kernel).
 
     Returns (size, R) float32.
     """
+    if rounding is None:
+        rounding = "pair" if pair else "single"
     B, R = rows.shape
     s_pad = cdiv(size, lo_width) * lo_width
     hi_w = s_pad // lo_width
@@ -260,7 +290,8 @@ def scatter_rows_factored_pallas(
             lo_width=lo_width,
             hi_w=hi_w,
             r_width=R,
-            pair=pair,
+            rounding=rounding,
+            unroll=unroll,
         ),
         grid=(grid_b,),
         in_specs=[
@@ -275,7 +306,8 @@ def scatter_rows_factored_pallas(
             (grid_b, hi_w, lo_width * R), jnp.float32
         ),
         cost_estimate=pl.CostEstimate(
-            flops=(2 if pair else 1) * 2 * padded_b * hi_w * lo_width * R,
+            flops=(2 if rounding == "pair" else 1)
+            * 2 * padded_b * hi_w * lo_width * R,
             bytes_accessed=padded_b * R * 4 + grid_b * hi_w * lo_width * R * 4,
             transcendentals=0,
         ),
@@ -436,6 +468,10 @@ def _factored_scatter_of(scatter: str, size: int, r: int, out_dtype):
         elif scatter == "factored_kernel":
             dt = scatter_rows_factored_pallas(
                 flat_idx, flat_g.astype(jnp.float32), size
+            )
+        elif scatter == "factored_kernel_sr":
+            dt = scatter_rows_factored_pallas(
+                flat_idx, flat_g.astype(jnp.float32), size, rounding="sr"
             )
         elif scatter == "factored_sr":
             dt = scatter_rows_factored(flat_idx, flat_g, size, rounding="sr")

@@ -520,3 +520,32 @@ def test_factored_kernel_scatter_in_grid():
     gb = np.asarray(jax.grad(loss(b))(params))
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-3)
 
+
+
+def test_factored_kernel_unroll_and_sr_modes():
+    """Kernel-internal knobs: the unrolled chunk loop is bitwise-identical
+    to the fori_loop form, and the in-kernel SR mode matches the XLA
+    factored_sr rounding (same value-hash; same f32 accumulation)."""
+    from tcnn_tpu.ops.scatter_rows import (
+        scatter_rows_factored,
+        scatter_rows_factored_pallas,
+    )
+
+    r = np.random.default_rng(3)
+    B, S, R = 4096, 512, 8
+    idx = jnp.asarray(r.integers(0, S, B), jnp.int32)
+    rows = jnp.asarray(r.normal(0, 1, (B, R)), jnp.float32)
+    a = np.asarray(
+        scatter_rows_factored_pallas(idx, rows, S, sub=512, unroll=True)
+    )
+    b = np.asarray(
+        scatter_rows_factored_pallas(idx, rows, S, sub=512, unroll=False)
+    )
+    np.testing.assert_array_equal(a, b)
+    sr_k = np.asarray(
+        scatter_rows_factored_pallas(idx, rows, S, sub=512, rounding="sr")
+    )
+    sr_x = np.asarray(scatter_rows_factored(idx, rows, S, rounding="sr"))
+    np.testing.assert_allclose(sr_k, sr_x, rtol=1e-5, atol=1e-5)
+    # SR stays close to the exact pair result on average.
+    np.testing.assert_allclose(sr_k, a, rtol=2e-2, atol=2e-2)

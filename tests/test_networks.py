@@ -172,6 +172,82 @@ def test_lane_packed_ffmlp_matches_unpacked():
         )
 
 
+@pytest.mark.parametrize("width", [16, 32, 64, 128])
+@pytest.mark.parametrize("n_layers", [1, 2, 4])
+def test_cf_layout_matches_rm(width, n_layers):
+    """Channel-first (weights-stationary) kernels compute the same math as
+    the row-major kernels: identical matmul graph, only the in-kernel
+    activation layout differs (bf16 operands, fp32 accumulation both ways,
+    so values match to bf16 rounding of the shared inputs)."""
+    import numpy as np
+
+    from tcnn_tpu.common import Activation
+    from tcnn_tpu.ops.ffmlp import mlp_backward_pallas, mlp_forward_pallas
+
+    r = np.random.default_rng(width * 10 + n_layers)
+    dims = [32] + [width] * max(0, n_layers - 1) + [16]
+    ws = [
+        jnp.asarray(r.normal(0, 0.4, (dims[i], dims[i + 1])), jnp.float32)
+        .astype(jnp.bfloat16)
+        for i in range(n_layers)
+    ]
+    # 1024 rows: divisible by every cfpack group (G*128 for G = 128/w), so
+    # the sublane-stacked hidden path is exercised at n_layers >= 3.
+    x = jnp.asarray(r.normal(0, 1, (1024, 32)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    g = jnp.asarray(r.normal(0, 1, (1024, 16)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    a = mlp_forward_pallas(x, ws, Activation.ReLU, Activation.NONE,
+                           layout="rm")
+    b = mlp_forward_pallas(x, ws, Activation.ReLU, Activation.NONE,
+                           layout="cf")
+    # The two layouts accumulate the same products in different orders, so
+    # fp32 rounding can flip ReLU signs at z ~ 0 and make rare large
+    # outliers: compare with the reference's percentile-RAE methodology
+    # (test_common.h:93-96's rationale), not exact equality.
+    match_rae(np.asarray(b, np.float32), np.asarray(a, np.float32),
+              2e-2, percentile=99)
+    dxa, dwsa = mlp_backward_pallas(
+        x, g, ws, Activation.ReLU, Activation.NONE, layout="rm"
+    )
+    dxb, dwsb = mlp_backward_pallas(
+        x, g, ws, Activation.ReLU, Activation.NONE, layout="cf"
+    )
+    match_rae(np.asarray(dxb, np.float32), np.asarray(dxa, np.float32),
+              2e-2, percentile=99)
+    for da, db in zip(dwsa, dwsb):
+        match_rae(np.asarray(db), np.asarray(da), 2e-2, percentile=99.5,
+                  mean_only=True)
+
+
+def test_cf_layout_through_network():
+    """FullyFusedMLP(layout="cf") end to end: matches the XLA MLP oracle and
+    is trainable (gradients flow through the custom VJP)."""
+    mlp, params = _mk(MLP, n_neurons=64, n_hidden_layers=2)
+    ff = FullyFusedMLP(
+        input_width=32, output_width=3, n_neurons=64, n_hidden_layers=2,
+        layout="cf", use_pallas=True,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((256, 32)), jnp.bfloat16
+    )
+    y_ref = np.asarray(jax.jit(mlp.apply)(params, x).astype(jnp.float32))
+    y_cf = np.asarray(jax.jit(ff.apply)(params, x).astype(jnp.float32))
+    match_rae(y_cf, y_ref, 5e-2, percentile=99)
+
+    def loss(net):
+        def f(p):
+            return (net.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+        return f
+
+    g_ref = np.asarray(jax.jit(jax.grad(loss(mlp)))(params))
+    g_cf = np.asarray(jax.jit(jax.grad(loss(ff)))(params))
+    match_rae(g_cf, g_ref, 5e-2, percentile=99, mean_only=True)
+
+
 def test_ffmlp_inference_mode_routing():
     # Serving routes FFMLP through the measured inference-optimal strategy
     # (XLA chain below width 128) while training keeps the fused kernel at
