@@ -75,6 +75,13 @@ def main():
         help="Forward lookup-table storage dtype override "
         "('float16'/'bfloat16'; default f32).",
     )
+    parser.add_argument(
+        "--layout",
+        default=None,
+        choices=["rm", "cf"],
+        help="FFMLP in-kernel activation layout override (see "
+        "ops/ffmlp.DEFAULT_LAYOUT).",
+    )
     args = parser.parse_args()
 
     import jax
@@ -133,6 +140,7 @@ def main():
             "output_activation": "None",
             "n_neurons": args.width,
             "n_hidden_layers": args.hidden,
+            **({"layout": args.layout} if args.layout else {}),
         },
     }
 

@@ -27,8 +27,12 @@ def bench_one(width: int, batch: int, iters: int, method: str, train: bool):
     from tcnn_tpu.networks import FullyFusedMLP, MLP
     from tcnn_tpu.rng import make_rng
 
-    cls = FullyFusedMLP if method == "fully_fused" else MLP
-    kwargs = {} if method == "fully_fused" else {}
+    cls = MLP if method == "xla" else FullyFusedMLP
+    kwargs = {}
+    if method == "fully_fused_cf":
+        kwargs = {"layout": "cf", "use_pallas": True}
+    elif method == "fully_fused":
+        kwargs = {"layout": "rm", "use_pallas": True}
     net = cls(
         input_width=width,
         output_width=width,
@@ -74,7 +78,7 @@ def main():
 
     results = []
     for width in args.widths:
-        for method in ("fully_fused", "xla"):
+        for method in ("fully_fused", "fully_fused_cf", "xla"):
             for train in (False, True):
                 tput = bench_one(width, args.batch, args.iters, method, train)
                 entry = {

@@ -111,6 +111,27 @@ CASES = {
         "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
                     "n_hidden_layers": 2},
     },
+    "cf_layout_kernel_sr": {
+        # Channel-first (weights-stationary, sublane-packed) FFMLP kernel
+        # + the in-kernel stochastic-rounding factored scatter.
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam"},
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "log2_hashmap_size": 12, "base_resolution": 8,
+                     "hash": "CoherentAdditive", "gather_strategy": "quad",
+                     "scatter_strategy": "factored_kernel_sr"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2, "layout": "cf"},
+    },
+    "cf_layout_width16": {
+        # cfpack G=8: the deepest sublane stacking.
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "SGD", "learning_rate": 1e-2},
+        "encoding": {"otype": "OneBlob", "n_bins": 16},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 16,
+                    "n_hidden_layers": 2, "layout": "cf",
+                    "use_pallas": True},
+    },
     "fused_pair_f16_table_adam": {
         # Round-2 knobs: single-matmul compensated pair scatter + fp16
         # forward tables (the reference's param-storage regime).

@@ -44,12 +44,15 @@ def create_network(
 
     kw = {}
     if wants_fused:
-        # TPU-only knob (absent from the reference schema; unknown keys are
-        # ignored there too): in-kernel activation layout, see
-        # ops/ffmlp.DEFAULT_LAYOUT.
+        # TPU-only knobs (absent from the reference schema; unknown keys
+        # are ignored there too): in-kernel activation layout (see
+        # ops/ffmlp.DEFAULT_LAYOUT) and kernel-routing override.
         layout = json_value(network, "layout", None)
         if layout is not None:
             kw["layout"] = layout
+        use_pallas = json_value(network, "use_pallas", None)
+        if use_pallas is not None:
+            kw["use_pallas"] = bool(use_pallas)
     return cls(
         input_width=n_input_dims,
         output_width=n_output_dims,
