@@ -88,10 +88,11 @@ class FullyFusedMLP(MLP):
         self._use_pallas_forced = use_pallas is not None
         if use_pallas is None:
             # Width-aware default (measured, v5e — benchmarks/
-            # bench_result_ours.json): the fused kernel wins at widths
-            # >= 64 (2.3x on training at 128); at 16/32 the MXU runs at
-            # <= 1/16 occupancy and XLA's fused matmul chain is faster.
-            use_pallas = n_neurons >= 64
+            # bench_result_ours.json): with the channel-first layout the
+            # fused kernel wins TRAINING at widths >= 32 (1.2-3.8x over
+            # the XLA chain); at 16 the chain's fused narrow matmuls are
+            # still faster (575M vs 362M elem/s).
+            use_pallas = n_neurons >= 32
         self._use_pallas = use_pallas
 
     @property

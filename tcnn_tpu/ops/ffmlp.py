@@ -63,8 +63,10 @@ DEFAULT_KPACK = False
 # of the reference keeping weights in register fragments and streaming
 # batch fragments through them, fully_fused_mlp.cu:47-129). No XLA-level
 # transpose anywhere: the layout flips ride inside dot_general contraction
-# orders, which the MXU consumes natively.
-DEFAULT_LAYOUT = "rm"
+# orders, which the MXU consumes natively. Default "cf" by measurement
+# (v5e, B=2^20, PLAN.md round-2 table): training 1.6-3.8x over "rm" at
+# every width, 74% MXU roofline on the width-128 standalone backward.
+DEFAULT_LAYOUT = "cf"
 
 
 def _lane_packing(weights_t: Sequence[jnp.ndarray]) -> int:
@@ -460,43 +462,70 @@ def _mlp_bwd_kernel_cf(x_ref, g_ref, *refs, activation: Activation,
         _kernel_block_diag(ws[i], G) if G > 1 else ws[i]
         for i in range(1, n_layers - 1)
     ]
+    # ReLU's vjp mask is recoverable from the POST-activation (h > 0 <=>
+    # z > 0 up to bf16 underflow at ~1e-38), and NONE needs no residual:
+    # for those, skip storing the f32 pre-activations entirely — the
+    # hidden walk masks against the bf16 hs already in VMEM, halving the
+    # backward kernel's live VMEM.
+    cheap_act = activation in (Activation.NONE, Activation.ReLU)
 
     # Forward recompute: hs[i] is layer i's input (CF for i >= 1; hidden
     # inputs sublane-stacked when G > 1).
     pres = []
     z = _dg(ws[0], 0, x, 1)  # (w, tile_b)
-    pres.append(z)
+    pres.append(None if cheap_act else z)
     h1 = activation_fn(z, activation).astype(in_dtype)
     if G > 1:
         h1 = _cf_stack(h1, G)
     hs = [x, h1]
     for i in range(1, n_layers - 1):
         z = _dg(wbd[i - 1], 0, hs[i], 0)  # (w_out[*G], tile_b[/G])
-        pres.append(z)
+        pres.append(None if cheap_act else z)
         hs.append(activation_fn(z, activation).astype(in_dtype))
+
+    def hvjp(dh, i):
+        # Activation vjp at hidden/first layer i, in dh's packing state
+        # (hs[i+1] is stored in the state dh flows in at layer i).
+        if activation == Activation.NONE:
+            return dh
+        if activation == Activation.ReLU:
+            return jnp.where(hs[i + 1] > 0, dh, 0.0)
+        return _act_vjp(dh, pres[i], activation)
+
     h_last = hs[n_layers - 1]
     if G > 1:
         h_last = _cf_unstack(h_last, G)
-    z_last = _dg(h_last, 0, ws[n_layers - 1], 0)  # (tile_b, out)
-
+    if output_activation == Activation.NONE:
+        # No output-act vjp -> the last layer's forward recompute matmul
+        # is dead; delta is the cotangent itself.
+        delta = g.astype(in_dtype)
+    else:
+        z_last = _dg(h_last, 0, ws[n_layers - 1], 0)  # (tile_b, out)
+        delta = _act_vjp(g, z_last, output_activation).astype(in_dtype)
     # Last layer (row-major delta), handing a CF dh to the hidden walk.
-    delta = _act_vjp(g, z_last, output_activation).astype(in_dtype)
     dw_refs[n_layers - 1][...] = _dg(h_last, 1, delta, 0)[None]
     dh = _dg(ws[n_layers - 1], 1, delta, 1)  # (w, tile_b) f32
     if G > 1 and n_layers > 2:
         dh = _cf_stack(dh, G)
 
     for i in range(n_layers - 2, 0, -1):
-        d16 = _act_vjp(dh, pres[i], activation).astype(in_dtype)
+        d16 = hvjp(dh, i).astype(in_dtype)
         dwp = _dg(hs[i], 1, d16, 1)  # (w_in[*G], w_out[*G]), K=tile_b[/G]
         if G > 1:
             dwp = _kernel_diag_sum(dwp, G)
         dw_refs[i][...] = dwp[None]
         dh = _dg(wbd[i - 1], 1, d16, 0)  # (w_in[*G], tile_b[/G])
 
-    if G > 1 and n_layers > 2:
-        dh = _cf_unstack(dh, G)
-    d16 = _act_vjp(dh, pres[0], activation).astype(in_dtype)
+    if cheap_act:
+        # Mask in dh's (packed) state, then unstack — where() commutes
+        # with the slab unstack.
+        d16 = hvjp(dh, 0).astype(in_dtype)
+        if G > 1 and n_layers > 2:
+            d16 = _cf_unstack(d16, G)
+    else:
+        if G > 1 and n_layers > 2:
+            dh = _cf_unstack(dh, G)
+        d16 = _act_vjp(dh, pres[0], activation).astype(in_dtype)
     dw_refs[0][...] = _dg(x, 0, d16, 1)[None]  # (in_w, w), K=tile_b
     dx_ref[...] = _dg(d16, 0, ws[0], 1).astype(in_dtype)  # (tile_b, in_w)
 
@@ -534,6 +563,21 @@ def mlp_backward_pallas(
         kp = _lane_packing(weights_t)
 
     tile_b = min(tile_b, max(128, batch))
+    # VMEM guard: the backward keeps x, g, dx and n_layers activation
+    # tensors (bf16) plus ~3 tile-sized f32 transients live per step (non-
+    # cheap activations add n_layers f32 pre-activations). Halve the tile
+    # until the estimate clears the ~16 MB scoped-VMEM budget with room
+    # for double buffering (a 128x5 net at tile 4096 measured 17.84M and
+    # failed to compile before this guard).
+    cheap = activation in (Activation.NONE, Activation.ReLU)
+    per_row = (
+        2 * (2 * in_width + out_width)  # x, dx (bf16) + g
+        + 2 * n_layers * max(in_width, out_width, weights_t[0].shape[1])
+        + (0 if cheap else 4 * n_layers * weights_t[0].shape[1])
+        + 12 * weights_t[0].shape[1]  # f32 transients (dh, d16, z)
+    )
+    while tile_b > 512 and tile_b * per_row > 11 * 2**20:
+        tile_b //= 2
     padded_batch = cdiv(batch, tile_b) * tile_b
     if padded_batch != batch:
         x = jnp.pad(x, ((0, padded_batch - batch), (0, 0)))
