@@ -65,7 +65,8 @@ for tile in (2048, 4096, 8192, 16384, 32768):
     timeit(
         f"w{width} pallas fwd tile={tile:5d}",
         lambda x, ws, tile=tile: mlp_forward_pallas(
-            x, tuple(ws), Activation.ReLU, Activation.ReLU, tile_b=tile
+            x, tuple(ws), Activation.ReLU, Activation.ReLU, tile_b=tile,
+            layout="rm",  # historical rm-tile sweep; keep comparable
         ).astype(jnp.float32).sum(),
         x,
         ws,
@@ -74,7 +75,7 @@ for tile in (2048, 4096, 8192, 16384, 32768):
 
 def train_pallas(x, ws):
     def f(ws):
-        out = ffmlp_apply(x, tuple(ws), Activation.ReLU, Activation.ReLU)
+        out = ffmlp_apply(x, tuple(ws), Activation.ReLU, Activation.ReLU, "rm")
         return (out.astype(jnp.float32) ** 2).sum()
 
     g = jax.grad(f)(list(ws))

@@ -91,8 +91,9 @@ class FullyFusedMLP(MLP):
             # bench_result_ours.json): with the channel-first layout the
             # fused kernel wins TRAINING at widths >= 32 (1.2-3.8x over
             # the XLA chain); at 16 the chain's fused narrow matmuls are
-            # still faster (575M vs 362M elem/s).
-            use_pallas = n_neurons >= 32
+            # still faster (575M vs 362M elem/s). The rm layout only
+            # wins at >= 64 (its narrow MXU passes lose at 32).
+            use_pallas = n_neurons >= (64 if layout == "rm" else 32)
         self._use_pallas = use_pallas
 
     @property

@@ -293,6 +293,8 @@ def mlp_forward_pallas(
         (it already fills the lanes with batch).
     """
     orig_batch = x.shape[0]
+    if layout not in ("rm", "cf"):
+        raise ValueError(f"layout must be 'rm' or 'cf', got {layout!r}")
     if layout == "cf":
         pack = False
         kpack = False
@@ -489,7 +491,9 @@ def _mlp_bwd_kernel_cf(x_ref, g_ref, *refs, activation: Activation,
         if activation == Activation.NONE:
             return dh
         if activation == Activation.ReLU:
-            return jnp.where(hs[i + 1] > 0, dh, 0.0)
+            # f32 compare: Mosaic rejects bf16 comparisons on this target
+            # ("Target does not support this comparison").
+            return jnp.where(hs[i + 1].astype(jnp.float32) > 0.0, dh, 0.0)
         return _act_vjp(dh, pres[i], activation)
 
     h_last = hs[n_layers - 1]
@@ -545,6 +549,8 @@ def mlp_backward_pallas(
     transposed (in, out) layout as ``weights_t``. HBM traffic is x + g +
     per-tile dW partials; all activations live and die in VMEM."""
     orig_batch = x.shape[0]
+    if layout not in ("rm", "cf"):
+        raise ValueError(f"layout must be 'rm' or 'cf', got {layout!r}")
     if layout == "cf":
         pack = False
         kpack = False
@@ -569,7 +575,9 @@ def mlp_backward_pallas(
     # until the estimate clears the ~16 MB scoped-VMEM budget with room
     # for double buffering (a 128x5 net at tile 4096 measured 17.84M and
     # failed to compile before this guard).
-    cheap = activation in (Activation.NONE, Activation.ReLU)
+    cheap = layout == "cf" and activation in (
+        Activation.NONE, Activation.ReLU
+    )  # only the CF kernel implements the cheap-act path
     per_row = (
         2 * (2 * in_width + out_width)  # x, dx (bf16) + g
         + 2 * n_layers * max(in_width, out_width, weights_t[0].shape[1])

@@ -162,14 +162,20 @@ def scatter_rows_serial(
 # ---------------------------------------------------------------------------
 
 
-def _sr_bf16_kernel(x32):
-    """In-kernel value-hashed stochastic bf16 rounding (same scheme as
-    _stochastic_round_bf16 below; integer ops lower fine in Mosaic)."""
-    bits = pltpu.bitcast(x32, jnp.uint32)
+def _sr_round_bits(bits):
+    """Shared value-hashed stochastic-rounding arithmetic on f32 bits
+    (uint32 -> rounded uint32); see _stochastic_round_bf16 for why the
+    dither comes from the value's own bits."""
     h = bits * jnp.uint32(0x9E3779B9)
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x85EBCA6B)
-    r = (bits + (h >> 16)) & jnp.uint32(0xFFFF0000)
+    return (bits + (h >> 16)) & jnp.uint32(0xFFFF0000)
+
+
+def _sr_bf16_kernel(x32):
+    """In-kernel value-hashed stochastic bf16 rounding (Mosaic bitcasts
+    around the shared _sr_round_bits)."""
+    r = _sr_round_bits(pltpu.bitcast(x32, jnp.uint32))
     return pltpu.bitcast(r, jnp.float32).astype(jnp.bfloat16)
 
 
@@ -267,6 +273,10 @@ def scatter_rows_factored_pallas(
     """
     if rounding is None:
         rounding = "pair" if pair else "single"
+    if rounding not in ("pair", "single", "sr"):
+        # An unknown string would silently fall through to the lowest-
+        # precision single-bf16 branch in the kernel — fail instead.
+        raise ValueError(f"rounding must be pair/single/sr, got {rounding!r}")
     B, R = rows.shape
     s_pad = cdiv(size, lo_width) * lo_width
     hi_w = s_pad // lo_width
@@ -340,12 +350,7 @@ def _stochastic_round_bf16(x: jnp.ndarray) -> jnp.ndarray:
     Zeros map to zeros (masked strip entries stay absent); sign-magnitude
     bit layout makes the magnitude rounding symmetric in sign.
     """
-    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    h = bits * jnp.uint32(0x9E3779B9)
-    h = h ^ (h >> 15)
-    h = h * jnp.uint32(0x85EBCA6B)
-    dither = (h >> 16).astype(jnp.uint32)  # 16 dithering bits
-    r = (bits + dither) & jnp.uint32(0xFFFF0000)
+    r = _sr_round_bits(jax.lax.bitcast_convert_type(x, jnp.uint32))
     return jax.lax.bitcast_convert_type(r, jnp.float32).astype(jnp.bfloat16)
 
 
