@@ -289,3 +289,41 @@ def test_ffmlp_inference_mode_routing():
     assert not assigned._use_pallas_forced
     assigned.use_pallas = True
     assert assigned._use_pallas_forced and assigned.use_pallas
+
+
+@pytest.mark.parametrize("act,out_act", [("Sine", "Sigmoid"),
+                                         ("Squareplus", "Tanh")])
+def test_cf_layout_generic_activations(act, out_act):
+    """CF kernels through the non-cheap activation paths: hidden act-vjp
+    uses stored pre-activations, and a non-None output activation takes
+    the last-layer recompute (z_last) branch."""
+    import numpy as np
+
+    from tcnn_tpu.common import string_to_activation
+    from tcnn_tpu.ops.ffmlp import mlp_backward_pallas, mlp_forward_pallas
+
+    a = string_to_activation(act)
+    oa = string_to_activation(out_act)
+    r = np.random.default_rng(11)
+    ws = [
+        jnp.asarray(r.normal(0, 0.4, (s[0], s[1])), jnp.float32).astype(
+            jnp.bfloat16
+        )
+        for s in [(32, 64), (64, 64), (64, 16)]
+    ]
+    x = jnp.asarray(r.normal(0, 1, (1024, 32)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    g = jnp.asarray(r.normal(0, 1, (1024, 16)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    fa = np.asarray(mlp_forward_pallas(x, ws, a, oa, layout="rm"), np.float32)
+    fb = np.asarray(mlp_forward_pallas(x, ws, a, oa, layout="cf"), np.float32)
+    match_rae(fb, fa, 2e-2, percentile=99)
+    dxa, dwsa = mlp_backward_pallas(x, g, ws, a, oa, layout="rm")
+    dxb, dwsb = mlp_backward_pallas(x, g, ws, a, oa, layout="cf")
+    match_rae(np.asarray(dxb, np.float32), np.asarray(dxa, np.float32),
+              2e-2, percentile=99)
+    for da, db in zip(dwsa, dwsb):
+        match_rae(np.asarray(db), np.asarray(da), 2e-2, percentile=99.5,
+                  mean_only=True)
