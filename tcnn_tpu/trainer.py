@@ -107,11 +107,16 @@ class Trainer:
             loss_input = (output.astype(jnp.float32) + noise).astype(output.dtype)
         else:
             loss_input = output
-        values, dL_dy = self.loss.evaluate(
+        # Fast path: scalar loss sum + gradients without materializing the
+        # per-element values matrix (elementwise losses compute on flat
+        # vectors — (B, dims<128) intermediates lane-pad 128/dims on TPU;
+        # the padded RelativeL2 fusion measured 717 us/step at flagship
+        # scale). evaluate_loss keeps the values-matrix API.
+        loss_sum, dL_dy = self.loss.evaluate_sum_and_gradient(
             self.loss_scale, loss_input, targets, data_pdf
         )
         grads = vjp(dL_dy)[0]
-        return jnp.sum(values), grads
+        return loss_sum, grads
 
     def _train_step(self, state, inputs, targets):
         return self._step_impl(state, inputs, targets, None)

@@ -118,3 +118,32 @@ def test_bf16_prediction_gradient_dtype():
     )
     assert g.dtype == jnp.bfloat16
     assert v.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("name", list(builtin_losses()) + ["Constant"])
+@pytest.mark.parametrize("with_pdf", [False, True])
+def test_sum_and_gradient_matches_evaluate(name, with_pdf):
+    """The trainer fast path (flat elementwise compute, no values matrix)
+    must agree with evaluate() + sum for every builtin loss."""
+    from tcnn_tpu.losses import ConstantLoss, create_loss
+
+    # Constant is intentionally unregistered (reference parity) —
+    # instantiate it directly.
+    loss = (
+        ConstantLoss() if name == "Constant" else create_loss({"otype": name})
+    )
+    pred, targ, pdf = _data(seed=3, positive=True)
+    pdf_arg = jnp.asarray(pdf) if with_pdf else None
+    values, grads = loss.evaluate(
+        LOSS_SCALE, jnp.asarray(pred), jnp.asarray(targ), pdf_arg
+    )
+    s, g = loss.evaluate_sum_and_gradient(
+        LOSS_SCALE, jnp.asarray(pred), jnp.asarray(targ), pdf_arg
+    )
+    np.testing.assert_allclose(
+        float(s), float(jnp.sum(values)), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(grads), rtol=1e-6, atol=1e-7
+    )
+    assert g.dtype == grads.dtype
