@@ -100,7 +100,7 @@ def main():
     args = sys.argv[1:]
     image = load_image(args[0]) if args else synthetic_image()
     config = (
-        json.loads(Path(args[1]).read_text())
+        tc.loads_config(Path(args[1]).read_text())
         if len(args) > 1 and args[1] not in ("", "-")
         else DEFAULT_CONFIG
     )

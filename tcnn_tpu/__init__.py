@@ -21,7 +21,13 @@ from .common import (
     ReductionType,
     default_loss_scale,
 )
-from .config import TrainableModel, create_from_config
+from .config import (
+    TrainableModel,
+    create_from_config,
+    load_config,
+    loads_config,
+    strip_json_comments,
+)
 from .encodings import builtin_encodings, create_encoding, register_encoding
 from .losses import builtin_losses, create_loss, register_loss
 from .network_with_input_encoding import NetworkWithInputEncoding
@@ -46,6 +52,9 @@ __all__ = [
     "create_network",
     "create_optimizer",
     "default_loss_scale",
+    "load_config",
+    "loads_config",
+    "strip_json_comments",
     "register_encoding",
     "register_loss",
     "__version__",

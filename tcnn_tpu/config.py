@@ -13,6 +13,7 @@ reference instantiates jitted JAX/Pallas implementations here:
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 from typing import Dict
 
@@ -39,6 +40,60 @@ class TrainableModel:
     @property
     def params(self):
         return self.trainer.params
+
+
+def strip_json_comments(text: str) -> str:
+    """Remove ``//``/``#`` line comments and ``/* */`` block comments from a
+    JSON document, string-literal aware — the reference's apps parse their
+    config files with nlohmann's ``skip_comments=true`` (reference:
+    samples/mlp_learning_an_image.cu:151), so commented config files are
+    part of the config-API contract. Comment bytes are replaced by spaces
+    (newlines kept) so error positions still line up with the source."""
+    out = list(text)
+    i, n = 0, len(text)
+    in_string = False
+    while i < n:
+        c = text[i]
+        if in_string:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_string = False
+            i += 1
+        elif c == '"':
+            in_string = True
+            i += 1
+        elif (c == "/" and i + 1 < n and text[i + 1] == "/") or c == "#":
+            while i < n and text[i] != "\n":
+                out[i] = " "
+                i += 1
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            out[i] = out[i + 1] = " "
+            i += 2
+            while i < n and not (text[i] == "*" and i + 1 < n
+                                 and text[i + 1] == "/"):
+                if text[i] != "\n":
+                    out[i] = " "
+                i += 1
+            if i >= n:
+                raise ValueError("unterminated /* */ comment in JSON config")
+            out[i] = out[i + 1] = " "
+            i += 2
+        else:
+            i += 1
+    return "".join(out)
+
+
+def loads_config(text: str) -> Dict:
+    """``json.loads`` with comments tolerated (see strip_json_comments)."""
+    return json.loads(strip_json_comments(text))
+
+
+def load_config(path) -> Dict:
+    """Read a (possibly commented) JSON config file."""
+    with open(path, "r") as f:
+        return loads_config(f.read())
 
 
 def create_from_config(
