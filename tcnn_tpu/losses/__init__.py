@@ -41,6 +41,11 @@ class Loss:
     # True when ``_value_and_gradient`` is a pure per-element map (no row
     # structure), enabling the flat trainer fast path below. Left False on
     # the base class so externally-registered losses keep the safe 2D path.
+    # The claim is verified for every REGISTERED loss by
+    # tests/test_losses.py::test_sum_and_gradient_matches_evaluate (flat
+    # path vs 2D path); external registrants setting elementwise=True
+    # should run the same parity check — see _value_and_gradient's
+    # contract below.
     elementwise = False
 
     def _check_shapes(self, prediction: Array, target: Array,
@@ -77,23 +82,44 @@ class Loss:
                 loss_scale, prediction, target, data_pdf
             )
             return jnp.sum(values), gradients
+        batch, stride, dims, pred, tgt, pdf = self._prepare(
+            prediction, target, data_pdf
+        )
+        values, gradient = self._value_and_gradient(
+            pred.reshape(-1), tgt.reshape(-1), pdf.reshape(-1), batch * dims
+        )
+        gradient = gradient.reshape(batch, dims)
+        return jnp.sum(values), self._scale_pad_cast(
+            gradient, loss_scale, stride - dims, prediction.dtype
+        )
+
+    def _prepare(self, prediction, target, data_pdf):
+        """Shared input prep for evaluate/evaluate_sum_and_gradient: shape
+        checks, the padding slice, fp32 casts, and the all-ones pdf
+        default. The two call sites MUST stay in lockstep — both go
+        through here (and through _scale_pad_cast below) by design; the
+        flat-vs-2D parity test guards the rest."""
         batch, stride, dims = self._check_shapes(prediction, target, data_pdf)
-        n_total = batch * dims
-        pred = prediction[:, :dims].astype(jnp.float32).reshape(-1)
-        tgt = target.astype(jnp.float32).reshape(-1)
+        pred = prediction[:, :dims].astype(jnp.float32)
+        tgt = target.astype(jnp.float32)
         pdf = (
             jnp.ones_like(tgt)
             if data_pdf is None
-            else data_pdf.astype(jnp.float32).reshape(-1)
+            else data_pdf.astype(jnp.float32)
         )
-        values, gradient = self._value_and_gradient(pred, tgt, pdf, n_total)
-        gradient = (loss_scale * gradient).reshape(batch, dims)
-        pad = stride - dims
+        return batch, stride, dims, pred, tgt, pdf
+
+    @staticmethod
+    def _scale_pad_cast(gradient, loss_scale, pad, dtype):
+        """Shared gradient epilogue: loss-scale multiply, zero padding
+        lanes (reference: l2.h:56-60), cast to the prediction dtype."""
+        gradient = loss_scale * gradient
         if pad > 0:
             gradient = jnp.concatenate(
-                [gradient, jnp.zeros((batch, pad), jnp.float32)], axis=1
+                [gradient, jnp.zeros((gradient.shape[0], pad), jnp.float32)],
+                axis=1,
             )
-        return jnp.sum(values), gradient.astype(prediction.dtype)
+        return gradient.astype(dtype)
 
     def evaluate(
         self,
@@ -102,28 +128,34 @@ class Loss:
         target: Array,
         data_pdf: Optional[Array] = None,
     ):
-        batch, stride, dims = self._check_shapes(prediction, target, data_pdf)
-
-        n_total = batch * dims
-        pred = prediction[:, :dims].astype(jnp.float32)
-        target = target.astype(jnp.float32)
-        pdf = (
-            jnp.ones_like(target)
-            if data_pdf is None
-            else data_pdf.astype(jnp.float32)
+        batch, stride, dims, pred, tgt, pdf = self._prepare(
+            prediction, target, data_pdf
         )
-
-        values, gradient = self._value_and_gradient(pred, target, pdf, n_total)
-
+        values, gradient = self._value_and_gradient(
+            pred, tgt, pdf, batch * dims
+        )
         pad = stride - dims
         if pad > 0:
-            zeros_v = jnp.zeros((batch, pad), jnp.float32)
-            values = jnp.concatenate([values, zeros_v], axis=1)
-            gradient = jnp.concatenate([gradient, zeros_v], axis=1)
-        gradients = (loss_scale * gradient).astype(prediction.dtype)
+            values = jnp.concatenate(
+                [values, jnp.zeros((batch, pad), jnp.float32)], axis=1
+            )
+        gradients = self._scale_pad_cast(
+            gradient, loss_scale, pad, prediction.dtype
+        )
         return values, gradients
 
     def _value_and_gradient(self, pred, target, pdf, n_total):
+        """Compute (values, gradient) from fp32 ``pred``/``target``/``pdf``
+        of identical shape (no padding lanes), normalized by ``n_total``.
+
+        Contract for ``elementwise = True`` subclasses: this must be a pure
+        PER-ELEMENT map — output element [i] depends only on input elements
+        [i] — with no row structure (no cross-column terms, no shape
+        inspection), because the trainer fast path calls it on flat
+        ``(batch * dims,)`` vectors. Losses with row structure (e.g.
+        RelativeL2Luminance's per-row luminance normalizer) must leave
+        ``elementwise = False``. Registered losses are parity-checked
+        flat-vs-2D in tests/test_losses.py."""
         raise NotImplementedError
 
     # Config surface (reference: object.h:50-55)
