@@ -105,7 +105,13 @@ def main():
 
             def loss_fn(p):
                 pred = model.apply(p, xy).astype(jnp.float32)
-                denom = pred * pred + 0.01
+                # Denominator treated as CONSTANT, like the reference's TF
+                # referee (bench_tensorflow.py:229, tf.stop_gradient) and
+                # every tcnn relative loss: differentiating through it
+                # creates a |pred| -> inf plateau at loss ~= 1 where the
+                # model parks forever (the round-2 referee bug: final_loss
+                # 0.9993 flat at every batch size).
+                denom = jax.lax.stop_gradient(pred) ** 2 + 0.01
                 return jnp.mean((pred - target) ** 2 / denom)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -119,9 +125,13 @@ def main():
 
         keys = jax.random.split(jax.random.PRNGKey(1), 200)
         n_warm, n_meas = 10, 50
+        curve_dev = []
         for i in range(n_warm):
             params, opt_state, loss = train_step(params, opt_state, keys[i])
-        _ = float(loss)
+            curve_dev.append(loss)
+        # ONE host fetch for the whole warmup curve (tunnel transfers stall
+        # randomly; never fetch per step).
+        curve = [float(v) for v in np.asarray(jnp.stack(curve_dev))]
         t0 = time.perf_counter()
         for i in range(n_meas):
             params, opt_state, loss = train_step(
@@ -149,6 +159,9 @@ def main():
                 "training_throughput": train_tp,
                 "inference_throughput": infer_tp,
                 "final_loss": float(loss),
+                # Warmup loss curve (steps 1..n_warm) + final: evidence the
+                # referee actually converges (VERDICT r2 weak #7).
+                "loss_curve": curve + [float(loss)],
             }
         )
 
