@@ -180,6 +180,65 @@ def _eikonal_case():
     assert bool(jnp.isfinite(g).all()), "non-finite eikonal gradient"
 
 
+# Error-message markers of the remote-compile service's transient failures
+# (HTTP 500 / tpu_compile_helper flake) — retried; a persistent failure
+# dumps a minimal-repro IR for the service owners (VERDICT r2 #8).
+_TRANSIENT_MARKERS = (
+    "500", "INTERNAL", "UNAVAILABLE", "DEADLINE", "tpu_compile_helper",
+    "Mosaic",
+)
+_N_ATTEMPTS = 3
+
+
+def _run_case(name, cfg, n_in):
+    """One training-smoke attempt; returns (ok, detail)."""
+    t0 = time.time()
+    model = tc.create_from_config(n_in, 3, cfg, seed=1)
+    r = np.random.default_rng(0)
+    losses = []
+    stratified = cfg["encoding"].get("gather_strategy") == "stratified"
+    if stratified:
+        from tcnn_tpu.utils.sampling import stratified_uniform
+    for i in range(8):
+        if stratified:
+            x = stratified_uniform(jax.random.PRNGKey(i), 1024, n_in)
+        else:
+            x = jnp.asarray(
+                r.uniform(0, 1, (2048, n_in)).astype(np.float32)
+            )
+        t = jnp.asarray(
+            r.uniform(0, 1, (x.shape[0], 3)).astype(np.float32)
+        )
+        losses.append(float(model.training_step(x, t)))
+    out = np.asarray(model.inference(x))
+    ok = (
+        np.isfinite(losses).all()
+        and np.isfinite(out).all()
+        and losses[-1] < losses[0] * 1.5
+    )
+    return ok, (
+        f"loss {losses[0]:.3e} -> {losses[-1]:.3e} ({time.time()-t0:.0f}s)"
+    )
+
+
+def _dump_repro_ir(name, cfg, n_in):
+    """Lower (client-side; works even when the remote COMPILE fails) the
+    failing case's train step and save the StableHLO as a minimal repro."""
+    try:
+        model = tc.create_from_config(n_in, 3, cfg, seed=1)
+        x = jnp.zeros((2048, n_in), jnp.float32)
+        t = jnp.zeros((2048, 3), jnp.float32)
+        trainer = model.trainer
+        ir = trainer._jit_train_step.lower(trainer.state, x, t).as_text()
+        out = Path(__file__).resolve().parent / "mosaic_repro"
+        out.mkdir(exist_ok=True)
+        path = out / f"{name}.stablehlo.txt"
+        path.write_text(ir)
+        return str(path)
+    except Exception as e:  # lowering itself failed — record why
+        return f"lowering failed: {type(e).__name__}: {str(e)[:120]}"
+
+
 def main():
     n_in_by_case = {"sh_lookahead": 3, "smoothstep_3d_expdecay": 3,
                     "nrc_ema_adam": 9}
@@ -187,48 +246,35 @@ def main():
     results = {}
     for name, cfg in CASES.items():
         n_in = n_in_by_case.get(name, 2)
-        try:
-            t0 = time.time()
-            model = tc.create_from_config(n_in, 3, cfg, seed=1)
-            r = np.random.default_rng(0)
-            losses = []
-            stratified = (
-                cfg["encoding"].get("gather_strategy") == "stratified"
-            )
-            if stratified:
-                from tcnn_tpu.utils.sampling import stratified_uniform
-            for i in range(8):
-                if stratified:
-                    x = stratified_uniform(
-                        jax.random.PRNGKey(i), 1024, n_in
-                    )
-                else:
-                    x = jnp.asarray(
-                        r.uniform(0, 1, (2048, n_in)).astype(np.float32)
-                    )
-                t = jnp.asarray(
-                    r.uniform(0, 1, (x.shape[0], 3)).astype(np.float32)
+        for attempt in range(_N_ATTEMPTS):
+            try:
+                ok, detail = _run_case(name, cfg, n_in)
+                status = "OK " if ok else "BAD"
+                retried = f" [attempt {attempt + 1}]" if attempt else ""
+                print(f"{status} {name}: {detail}{retried}", flush=True)
+                results[name] = ("ok" if ok else f"bad: {detail}") + (
+                    f" (attempt {attempt + 1})" if attempt else ""
                 )
-                losses.append(float(model.training_step(x, t)))
-            out = np.asarray(model.inference(x))
-            ok = (
-                np.isfinite(losses).all()
-                and np.isfinite(out).all()
-                and losses[-1] < losses[0] * 1.5
-            )
-            status = "OK " if ok else "BAD"
-            print(f"{status} {name}: loss {losses[0]:.3e} -> {losses[-1]:.3e} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-            results[name] = (
-                "ok" if ok else f"bad: {losses[0]:.3e}->{losses[-1]:.3e}"
-            )
-            if not ok:
+                if not ok:
+                    failures.append(name)
+                break
+            except Exception as e:
+                msg = f"{type(e).__name__}: {str(e)[:200]}"
+                transient = any(m in str(e) for m in _TRANSIENT_MARKERS)
+                if transient and attempt + 1 < _N_ATTEMPTS:
+                    print(f"RETRY {name} (attempt {attempt + 1}): {msg}",
+                          flush=True)
+                    time.sleep(5)
+                    continue
+                print(f"FAIL {name}: {msg}", flush=True)
+                repro = _dump_repro_ir(name, cfg, n_in)
+                print(f"     repro IR: {repro}", flush=True)
+                results[name] = (
+                    f"fail after {attempt + 1} attempts: {msg[:120]} "
+                    f"(repro: {repro})"
+                )
                 failures.append(name)
-        except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}",
-                  flush=True)
-            results[name] = f"fail: {type(e).__name__}: {str(e)[:120]}"
-            failures.append(name)
+                break
 
     try:
         t0 = time.time()
@@ -246,10 +292,16 @@ def main():
     import json
     from datetime import datetime, timezone
 
+    import jaxlib
+
     out_path = Path(__file__).resolve().parent / "tpu_smoke_result.json"
     out_path.write_text(json.dumps({
         "timestamp": datetime.now(timezone.utc).isoformat(),
         "backend": jax.default_backend(),
+        # Per-version canary status: a Mosaic/service regression is only
+        # actionable with the toolchain pinned (VERDICT r2 #8).
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
         "cases": results,
         "failures": failures,
     }, indent=1) + "\n")

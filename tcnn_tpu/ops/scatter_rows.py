@@ -130,11 +130,27 @@ def scatter_rows_serial(
     size: int,
     *,
     c_chunk: int = 2048,
+    max_rows: int | None = 2**17,
 ) -> jnp.ndarray:
     """Same reduction via a VMEM-resident accumulator and a serial
     read-modify-write loop (probe for the per-row RMW floor; the whole
-    (size, R) table must fit VMEM)."""
-    R = rows.shape[1]
+    (size, R) table must fit VMEM). ``max_rows`` splits larger batches
+    into independent kernel calls summed on the outside (the Mosaic
+    remote-compile envelope workaround — see scatter_rows_factored_pallas).
+    """
+    B, R = rows.shape
+    if max_rows is not None and B > max_rows:
+        out = None
+        for lo in range(0, B, max_rows):
+            part = scatter_rows_serial(
+                idx[lo : lo + max_rows],
+                rows[lo : lo + max_rows],
+                size,
+                c_chunk=c_chunk,
+                max_rows=None,
+            )
+            out = part if out is None else out + part
+        return out
     idx3, rows = _pad_groups(idx, rows, c_chunk)
     padded_b = rows.shape[0]
     padded_s = cdiv(size, 8) * 8
@@ -244,6 +260,7 @@ def scatter_rows_factored_pallas(
     n_sub: int = 8,
     rounding: str | None = None,
     unroll: bool = True,
+    max_rows: int | None = 2**17,
 ) -> jnp.ndarray:
     """``scatter_rows_factored`` as ONE fused Pallas kernel.
 
@@ -268,6 +285,11 @@ def scatter_rows_factored_pallas(
         (value-hashed stochastic bf16 contributions: single-matmul cost,
         unbiased across steps like the XLA factored_sr mode).
       unroll: emit the chunk loop unrolled (see _factored_kernel).
+      max_rows: Mosaic remote-compile envelope guard — batches above this
+        are split into independent <= max_rows kernel calls whose (size, R)
+        partials are summed (the documented slice workaround for the
+        service's HTTP-500 envelope on large batch grids, PLAN.md Mosaic
+        gotchas; B=2^17 compiles, B=2^18 does not). None disables.
 
     Returns (size, R) float32.
     """
@@ -278,6 +300,23 @@ def scatter_rows_factored_pallas(
         # precision single-bf16 branch in the kernel — fail instead.
         raise ValueError(f"rounding must be pair/single/sr, got {rounding!r}")
     B, R = rows.shape
+    if max_rows is not None and B > max_rows:
+        out = None
+        for lo in range(0, B, max_rows):
+            part = scatter_rows_factored_pallas(
+                idx[lo : lo + max_rows],
+                rows[lo : lo + max_rows],
+                size,
+                lo_width=lo_width,
+                pair=pair,
+                sub=sub,
+                n_sub=n_sub,
+                rounding=rounding,
+                unroll=unroll,
+                max_rows=None,
+            )
+            out = part if out is None else out + part
+        return out
     s_pad = cdiv(size, lo_width) * lo_width
     hi_w = s_pad // lo_width
 

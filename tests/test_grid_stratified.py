@@ -549,3 +549,33 @@ def test_factored_kernel_unroll_and_sr_modes():
     np.testing.assert_allclose(sr_k, sr_x, rtol=1e-5, atol=1e-5)
     # SR stays close to the exact pair result on average.
     np.testing.assert_allclose(sr_k, a, rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_max_rows_slicing_parity():
+    """The Mosaic-envelope slice split (max_rows) must be numerically
+    equivalent to the unsliced kernel call up to partial-sum reordering
+    (f32 adds of bf16-pair products)."""
+    from tcnn_tpu.ops.scatter_rows import (
+        scatter_rows_factored_pallas,
+        scatter_rows_serial,
+    )
+
+    r = np.random.default_rng(7)
+    B, S, R = 8192, 256, 8
+    idx = jnp.asarray(r.integers(0, S, B), jnp.int32)
+    rows = jnp.asarray(r.normal(0, 1, (B, R)), jnp.float32)
+    whole = np.asarray(
+        scatter_rows_factored_pallas(idx, rows, S, sub=512, max_rows=None)
+    )
+    sliced = np.asarray(
+        scatter_rows_factored_pallas(idx, rows, S, sub=512, max_rows=2048)
+    )
+    np.testing.assert_allclose(sliced, whole, rtol=1e-5, atol=1e-5)
+    whole_s = np.asarray(
+        scatter_rows_serial(idx, rows, S, c_chunk=512, max_rows=None)
+    )
+    sliced_s = np.asarray(
+        scatter_rows_serial(idx, rows, S, c_chunk=512, max_rows=2048)
+    )
+    np.testing.assert_allclose(sliced_s, whole_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(whole_s, whole, rtol=1e-2, atol=1e-2)
