@@ -43,12 +43,14 @@ def main():
     )
     parser.add_argument(
         "--sampler",
-        choices=["stratified", "iid"],
+        choices=["stratified", "phase_locked", "iid"],
         default="stratified",
         help="Batch sampler: 'stratified' draws one jittered uniform sample "
         "per raster tile (variance-reduced; enables the gather-free static "
-        "path on coarse grid levels), 'iid' matches the reference's "
-        "curand-uniform loop exactly.",
+        "path on coarse grid levels), 'phase_locked' shares ONE jitter "
+        "vector per batch (additionally enables compile-time-static fine "
+        "levels — no scatter emitter at all; PLAN.md round 3), 'iid' "
+        "matches the reference's curand-uniform loop exactly.",
     )
     parser.add_argument(
         "--stratified-variants",
@@ -123,8 +125,17 @@ def main():
             # levels for stratified batches (see PLAN.md).
             "hash": "CoherentAdditive",
             "gather_strategy": args.gather_strategy
-            or ("stratified" if args.sampler == "stratified" else "quad"),
+            or (
+                "stratified"
+                if args.sampler in ("stratified", "phase_locked")
+                else "quad"
+            ),
             "stratified_max_variants": args.stratified_variants,
+            **(
+                {"phase_locked": True}
+                if args.sampler == "phase_locked"
+                else {}
+            ),
             **(
                 {"scatter_strategy": args.scatter_strategy}
                 if args.scatter_strategy
@@ -169,11 +180,16 @@ def main():
 
     @jax.jit
     def bench_step(state, key, img):
-        if args.sampler == "stratified":
+        if args.sampler in ("stratified", "phase_locked"):
             # One jittered sample per raster tile (see utils/sampling.py):
             # same per-sample uniform marginals, even coverage, and the
             # layout contract for the coarse-level static grid path.
-            xy = stratified_uniform(key, args.batch, 2)
+            # phase_locked shares the jitter vector batch-wide (the
+            # static-fine-level contract).
+            xy = stratified_uniform(
+                key, args.batch, 2,
+                phase_locked=args.sampler == "phase_locked",
+            )
         else:
             xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)
         if args.sort_batch:
@@ -189,7 +205,10 @@ def main():
                     | (((q[:, 1] >> b) & 1) << (2 * b + 1))
                 )
             xy = xy[jnp.argsort(key_bits)]
-        if args.sampler == "stratified" and args.batch == res * res:
+        if (
+            args.sampler in ("stratified", "phase_locked")
+            and args.batch == res * res
+        ):
             # Stratified tiles coincide with pixels (strata == res), so the
             # nearest-pixel lookup of sample j is EXACTLY pixel j: the
             # target gather is the identity (algebraically identical to

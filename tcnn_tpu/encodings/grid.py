@@ -251,6 +251,25 @@ class GridEncoding(Encoding):
         # masked-strip materialization and a per-level (not global) table.
         self.factored_min_rows = 65536
         self.factored_max_size = 65536
+        # Phase-locked stratified mode (PLAN.md round 3): the sampler
+        # shares ONE jitter vector across the whole batch
+        # (utils/sampling.stratified_uniform(phase_locked=True)), which
+        # makes every fine hashed level's cell indices a COMPILE-TIME
+        # constant plus one dynamic scalar table shift. Fine-level scales
+        # are snapped to strata multiples (_apply_phase_lock), and the
+        # table-gradient scatter becomes a static reorder-gather plus
+        # bucketed one-hot MXU matmuls (ops.scatter_packed_static_csr)
+        # instead of the per-row scatter emitter — measured ~2.1x faster
+        # at 3D NeRF scale. Enabled via the "phase_locked" config knob
+        # (requires gather_strategy "stratified").
+        self.phase_locked = False
+        self.strata: Optional[int] = None
+        # Gradient-contribution rounding on the phase-locked scatter:
+        # "pair" (compensated bf16, ~3e-6 rel — default) | "single" |
+        # "sr" | "f32".
+        self.locked_rounding = "pair"
+        self._csr_cache: dict = {}
+        self._locked_base_cache: dict = {}
         # Storage dtype of the lookup tables on the RANDOM-ACCESS forward
         # paths (quad/hybrid/per-level vertex gathers): "float32" (default)
         # | "float16" (the reference's fp16 param regime, grid.h params_type
@@ -383,6 +402,89 @@ class GridEncoding(Encoding):
                 # reference's fp32 fallback.
                 return "xla_half"
         return "xla"
+
+    def _apply_phase_lock(self, strata: int) -> None:
+        """Enable phase-locked mode: snap fine hashed levels' scales to
+        multiples of ``strata`` so the tile->cell map of a phase-locked
+        stratified batch is integral per tile (cell = tile * q + E with a
+        shared scalar E) — the enabler for compile-time-static fine-level
+        indices. Only power-of-two-size hashed levels above the coarse
+        static path snap (mod-2^32 index folding must distribute over the
+        table-size mod), and only when snapping preserves the level's
+        param count (checkpoint layout) and hashed classification. Scales
+        move by at most strata/2 (<= 2.4% relative at the first snapped
+        level) — a documented deviation from the reference's exact
+        per_level_scale geometry, opt-in via the "phase_locked" knob.
+        """
+        self.phase_locked = True
+        self.strata = int(strata)
+        d = self.n_dims_to_encode
+        for lvl in range(self.n_levels):
+            scale = float(self.scales[lvl])
+            if (
+                self.raster_max_scale is not None
+                and scale <= self.raster_max_scale
+            ):
+                continue  # coarse static levels keep exact reference scales
+            if not self._use_hash[lvl]:
+                continue
+            size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+            if size & (size - 1):
+                continue
+            snapped = max(int(round(scale / strata)), 1) * int(strata)
+            res = snapped + 1  # integer scale: ceil(scale) + 1
+            if res**d <= size:
+                continue  # would flip to dense indexing / shrink the level
+            self.scales[lvl] = float(snapped)
+            self.resolutions[lvl] = res
+
+    def _locked_levels(self, strat_strata: int) -> set:
+        """Levels eligible for the phase-locked static-index path given a
+        stratified batch with ``strat_strata`` tiles per dim."""
+        if (
+            not self.phase_locked
+            or self.strata != strat_strata
+            or self.gather_strategy != "stratified"
+            or self.interpolation_type != InterpolationType.Linear
+            or self.fixed_point_pos
+            or self.quad_pack == "off"
+        ):
+            return set()
+        K = self._pack_k()
+        if K < 2:
+            return set()
+        out = set()
+        for lvl in range(self.n_levels):
+            scale = float(self.scales[lvl])
+            size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+            if (
+                scale > (self.raster_max_scale or 0.0)
+                and self._use_hash[lvl]
+                and size & (size - 1) == 0
+                and size % K == 0
+                and scale == int(scale)
+                and int(scale) % strat_strata == 0
+                and self._level_strides(lvl) is not None
+            ):
+                out.add(lvl)
+        return out
+
+    def _locked_csr(self, lvl: int, base_np: np.ndarray, size: int, K: int):
+        """Cached static-CSR structure over a level's packed-row targets."""
+        key = (lvl, len(base_np))
+        hit = self._csr_cache.get(key)
+        if hit is None:
+            from ..ops.scatter_rows import build_static_csr
+
+            prow = base_np.astype(np.int64) // K
+            order, lo, nb, M = build_static_csr(prow, size // K, 128)
+            slot = (base_np.astype(np.int64) % K).astype(np.int32)
+            ss = np.full(order.shape, -1, np.int32)
+            mask = order < len(base_np)
+            ss[mask] = slot[order[mask]]
+            hit = (order, lo, ss.reshape(nb, M), nb, M)
+            self._csr_cache[key] = hit
+        return hit
 
     def _level_strides(self, lvl: int) -> Optional[List[int]]:
         """Per-dim affine index strides for level ``lvl``'s corner layout.
@@ -559,6 +661,77 @@ class GridEncoding(Encoding):
             return linear_call(p_fn, t_fn, idx, params)
         except NotImplementedError:  # vmap: no linear_call batching rule
             return p_fn(idx, params)
+
+    def _quad_lookup_locked(self, params, idx, lvl: int, base_np, d_shift):
+        """Quad-cell lookup for a PHASE-LOCKED level: unpacked-gather
+        forward (identical to the hybrid path) with a STATIC-CSR packed
+        transpose.
+
+        The level's cell indices are ``(base_np + d_shift) % size`` with
+        ``base_np`` a compile-time constant and ``d_shift`` one traced
+        scalar (see the phase-locked branch in ``apply``), so the
+        table-gradient scatter-add becomes a static reorder-gather plus
+        bucketed one-hot MXU matmuls (``ops.scatter_packed_static_csr``),
+        and the dynamic shift rides ONE flat roll — rolls are
+        shift-additive, so it hoists out of the per-corner adjoint sum.
+        Measured ~2.1x the bf16 scatter emitter at the 3D NeRF-scale
+        level shape (benchmarks/probe_r3_static.py). Exact linear
+        transpose of the forward (linear_call, any differentiation
+        order), like _quad_lookup_hybrid.
+        """
+        from jax.custom_derivatives import linear_call
+
+        from ..ops.scatter_rows import scatter_packed_static_csr
+
+        F = self.n_features_per_level
+        K = self._pack_k()
+        C = 2 ** self.n_dims_to_encode
+        size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+        off = int(self.offset_table[lvl])
+        strides = self._level_strides(lvl)
+        deltas = []
+        for cbits in self._corners:
+            delta = 0
+            for dim, bit in enumerate(cbits):
+                delta += int(bit) * strides[dim]
+            deltas.append(delta % size)
+        n_params = params.shape[0]
+        batch = idx.shape[0]
+        order, lo, slot_sorted, nb, M = self._locked_csr(
+            lvl, base_np, size, K
+        )
+        rounding = self.locked_rounding
+
+        def p_fn(res, p):
+            i, _ = res
+            quad = self._quad_table(p.reshape(-1, F), lvl)
+            fd = self._forward_dtype()
+            if fd is not None:
+                return quad.astype(fd).at[i].get(
+                    mode="promise_in_bounds"
+                ).astype(quad.dtype)
+            return quad.at[i].get(mode="promise_in_bounds")
+
+        def t_fn(res, dfeats):
+            _, dsh = res
+            dpacked = scatter_packed_static_csr(
+                dfeats.reshape(batch, C * F).astype(jnp.float32),
+                order, lo, slot_sorted, nb, M, K, F, size // K, rounding,
+            )  # (size/K, 128)
+            dflat = jnp.zeros((size * F,), jnp.float32)
+            for c, delta in enumerate(deltas):
+                blk = dpacked[:, c * K * F : (c + 1) * K * F].reshape(-1)
+                dflat = dflat + (
+                    jnp.roll(blk, delta * F) if delta else blk
+                )
+            dflat = jnp.roll(dflat, dsh.astype(jnp.int32) * F)
+            out = jnp.zeros((n_params,), jnp.float32)
+            return jax.lax.dynamic_update_slice(out, dflat, (F * off,))
+
+        try:
+            return linear_call(p_fn, t_fn, (idx, d_shift), params)
+        except NotImplementedError:  # vmap: no linear_call batching rule
+            return p_fn((idx, d_shift), params)
 
     def _raster_separable_feats(self, table, lvl: int, sides):
         """Raster-serving fast path for one raster-stride level: SEPARABLE
@@ -819,6 +992,22 @@ class GridEncoding(Encoding):
                 "'stratified')"
             )
         contract_ok = None
+        # Phase-locked fine levels (PLAN.md round 3): static cell indices
+        # + one dynamic scalar shift per level; see _locked_levels.
+        locked_set = (
+            self._locked_levels(strat_strata)
+            if strat_strata and not separable_ok and not stochastic
+            else set()
+        )
+        locked_info: dict = {}
+        i_const = None
+        if locked_set:
+            ids_np = np.arange(batch, dtype=np.int64)
+            i_np = np.stack(
+                [(ids_np // strat_strata**k) % strat_strata for k in range(d)],
+                axis=1,
+            )
+            i_const = jnp.asarray(i_np.astype(np.int32))  # (B, d) tiles
         if strat_strata and not separable_ok:
             # On-device raster-tile contract check (cheap VPU compares):
             # sample j must lie in tile j (dim i tile = (j // strata^i) %
@@ -834,6 +1023,18 @@ class GridEncoding(Encoding):
                 diff = jnp.clip(got, 0, strat_strata - 1) - tile
                 contract_ok = jnp.logical_and(
                     contract_ok, jnp.all((diff >= 0) & (diff <= 1))
+                )
+            if locked_set:
+                # Phase-lock contract: every sample shares ONE within-tile
+                # jitter vector (utils/sampling.stratified_uniform with
+                # phase_locked=True). The locked levels' static indices
+                # assume it; violation NaN-poisons the output below.
+                frac = x * jnp.float32(strat_strata) - i_const.astype(
+                    jnp.float32
+                )
+                contract_ok = jnp.logical_and(
+                    contract_ok,
+                    jnp.all(jnp.abs(frac - frac[0]) <= 2e-3),
                 )
         for lvl in range(L):
             scale = float(self.scales[lvl])
@@ -871,6 +1072,47 @@ class GridEncoding(Encoding):
                 rem = pos_fixed - pg * jnp.uint32(cell)
                 pos_grid = pg.astype(jnp.int32)
                 t = (scale / float(0xFFFFFFFF)) * rem.astype(jnp.float32)
+            elif lvl in locked_set:
+                # Phase-locked level: cell = tile * q + E with integral
+                # q = scale / strata and E = floor(pos of tile 0) — a
+                # shared scalar per dim (the whole batch shares one jitter
+                # vector, verified by the contract check above). Indices
+                # derive from the PREDICTED grid so they are static up to
+                # one scalar; t keeps the per-sample position (exact input
+                # gradients). A global off-by-one of E at a cell boundary
+                # is harmless by lerp continuity (t compensates).
+                pos = x * scale + 0.5
+                e0 = pos[0]  # (d,) — sample 0 is tile (0, ..., 0)
+                E = jnp.floor(e0).astype(jnp.int32)
+                q = int(scale) // strat_strata
+                pos_grid = i_const * jnp.int32(q) + E[None, :]
+                t = pos - pos_grid.astype(jnp.float32)
+                # Static base indices (numpy, cached) + the dynamic scalar
+                # shift for the locked lookup's static-CSR transpose.
+                bkey = (lvl, batch)
+                base_np = self._locked_base_cache.get(bkey)
+                if base_np is None:
+                    strides_l = self._level_strides(lvl)
+                    acc = np.zeros(batch, np.uint64)
+                    ids_np = np.arange(batch, dtype=np.int64)
+                    for dim in range(d):
+                        i_dim = (ids_np // strat_strata**dim) % strat_strata
+                        acc += i_dim.astype(np.uint64) * np.uint64(
+                            (q * strides_l[dim]) & 0xFFFFFFFF
+                        )
+                        acc &= 0xFFFFFFFF
+                    base_np = (acc % np.uint64(level_size)).astype(np.int32)
+                    self._locked_base_cache[bkey] = base_np
+                dsh = jnp.zeros((), jnp.uint32)
+                strides_l = self._level_strides(lvl)
+                for dim in range(d):
+                    dsh = dsh + E[dim].astype(jnp.uint32) * jnp.uint32(
+                        strides_l[dim] & 0xFFFFFFFF
+                    )
+                locked_info[lvl] = (
+                    base_np,
+                    (dsh % jnp.uint32(level_size)).astype(jnp.int32),
+                )
             else:
                 # pos_fract with the 0.5 stagger offset
                 # (reference: common_device.h:1000-1043).
@@ -1085,7 +1327,14 @@ class GridEncoding(Encoding):
                         and self.index_mode is None
                         and mode.startswith("xla")
                     )
-                    if packed and self.quad_pack in ("auto", "hybrid"):
+                    if lvl in locked_info:
+                        # Phase-locked: static-CSR transpose (no scatter
+                        # emitter at all); forward identical to hybrid.
+                        base_np, d_shift = locked_info[lvl]
+                        feats = self._quad_lookup_locked(
+                            params, idx, lvl, base_np, d_shift
+                        ).reshape(batch, n_corners, F)
+                    elif packed and self.quad_pack in ("auto", "hybrid"):
                         # Unpacked-gather forward + packed-scatter
                         # transpose (see _quad_lookup_hybrid). Default:
                         # measured faster than the packed gather+select on
@@ -1184,7 +1433,7 @@ class GridEncoding(Encoding):
             active = lvl_ids < (jnp.float32(max_level) * L + 1e-3)
             y = jnp.where(active[None, :, None], y, 0.0)
 
-        if contract_ok is not None and strat_bits:
+        if contract_ok is not None and (strat_bits or locked_info):
             # Static coarse levels ran: poison everything if the batch
             # violated the raster contract (see docstring).
             y = jnp.where(contract_ok, y, jnp.nan)
@@ -1268,6 +1517,9 @@ class GridEncoding(Encoding):
             hp["strata"] = int(
                 self.raster_max_scale / max(self.stratified_max_variants - 1, 1)
             )
+        if self.phase_locked:
+            hp["phase_locked"] = True
+            hp["locked_rounding"] = self.locked_rounding
         return hp
 
 
@@ -1357,5 +1609,19 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         )
         enc.raster_max_scale = float(
             (enc.stratified_max_variants - 1) * strata
+        )
+        enc.locked_rounding = json_value(encoding, "locked_rounding", "pair")
+        if enc.locked_rounding not in ("pair", "single", "sr", "f32"):
+            raise ValueError(
+                f"invalid locked_rounding {enc.locked_rounding!r}"
+            )
+        if json_value(encoding, "phase_locked", False):
+            # Phase-locked stratified mode: fine hashed levels run with
+            # compile-time-static indices (see _apply_phase_lock). Batches
+            # must come from stratified_uniform(phase_locked=True).
+            enc._apply_phase_lock(strata)
+    elif json_value(encoding, "phase_locked", False):
+        raise ValueError(
+            "phase_locked requires gather_strategy 'stratified'"
         )
     return enc

@@ -25,6 +25,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -775,3 +776,136 @@ def gather_rows_batched(tables: jnp.ndarray, idx: jnp.ndarray,
         )
     except NotImplementedError:  # vmap fallback
         return jnp.take_along_axis(tables, idx[..., None], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Static-CSR scatter (phase-locked batches; PLAN.md round 3)
+# ---------------------------------------------------------------------------
+
+
+def build_static_csr(targets, n_slots: int, bucket_width: int = 128):
+    """Compile-time CSR over a static scatter-target vector.
+
+    Groups the B row ids by target bucket ``targets // bucket_width`` and
+    pads every bucket to the max occupancy M, so the (deterministic,
+    commutative-sum) scatter-add becomes a static reorder-gather plus one
+    batched one-hot matmul per bucket (see ``scatter_packed_static_csr``).
+
+    Args:
+      targets: (B,) numpy int array of slot indices in [0, n_slots) —
+        must be COMPILE-TIME constants (the phase-locked grid path's cell
+        indices are static up to one scalar table roll).
+      n_slots: total scatter slots.
+      bucket_width: slots per bucket (the one-hot matmul's N dim).
+
+    Returns (order, lo, nb, M):
+      order: (nb * M,) int32 — row ids grouped by bucket, padded with the
+        sentinel B (callers append one zero row at index B).
+      lo: (nb, M) int32 in-bucket slot offsets, sentinel -1.
+    """
+    targets = np.asarray(targets, np.int64)
+    B = targets.shape[0]
+    nb = -(-n_slots // bucket_width)
+    bucket = targets // bucket_width
+    counts = np.bincount(bucket, minlength=nb)
+    M = max(int(counts.max()), 1)
+    srt = np.argsort(bucket, kind="stable")
+    starts = np.zeros(nb, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    pos = np.arange(B, dtype=np.int64) - np.repeat(starts, counts)
+    order = np.full(nb * M, B, np.int32)
+    lo = np.full(nb * M, -1, np.int32)
+    slots = bucket[srt] * M + pos
+    order[slots] = srt.astype(np.int32)
+    lo[slots] = (targets[srt] % bucket_width).astype(np.int32)
+    return order, lo.reshape(nb, M), nb, M
+
+
+def scatter_packed_static_csr(
+    rows: jnp.ndarray,
+    order: np.ndarray,
+    lo: np.ndarray,
+    slot_sorted: np.ndarray,
+    nb: int,
+    M: int,
+    K: int,
+    n_feats: int,
+    n_out_rows: int,
+    rounding: str = "pair",
+    bucket_width: int = 128,
+) -> jnp.ndarray:
+    """Scatter-add B quad rows into a packed (n_out_rows, K * R0) table
+    via a STATIC CSR.
+
+    The dual of the scatter emitter for phase-locked batches: target rows
+    are compile-time constants, so the reduction becomes a static
+    reorder-gather (take) plus bucketed one-hot MXU matmuls with fp32
+    accumulation — measured ~2.1x the bf16 emitter at the 3D NeRF-scale
+    shape and ~1.5x the factored scatter at the 2D flagship shape
+    (benchmarks/probe_r3_static.py, v5e). Reference analogue: the CUDA
+    grid backward's atomicAdd accumulation (grid.h:436-535) — here the
+    collision resolution is a dense matmul instead of hardware atomics.
+
+    Args:
+      rows: (B, R0) float32 gradient rows, R0 = C * F in corner-major
+        order (C = 2^d corners, F = n_feats features).
+      order/lo: from ``build_static_csr`` over the PACKED row targets
+        (cell // K) with n_slots = n_out_rows; order's sentinel B points
+        at an appended zero row.
+      slot_sorted: (nb, M) numpy int32 — each gathered row's in-packed-row
+        cell slot (cell % K), sentinel -1. Features spread to K * R0 = 128
+        lanes in the packed quad layout (corner block c, slot k, feature f
+        -> lane c*K*F + k*F + f; see grid._quad_table_packed).
+      n_feats: F, features per corner (fixes the (C, F) -> (C, K, F)
+        spread).
+      rounding: "pair" (error-compensated bf16 pair, ~3e-6 rel — default),
+        "single" (one bf16 pass, the reference's half grad_t regime),
+        "sr" (stochastically rounded bf16, unbiased across steps), or
+        "f32" (exact, full-width MXU passes).
+
+    Returns (n_out_rows, K * R0) float32.
+    """
+    B, R0 = rows.shape
+    F = n_feats
+    C = R0 // F
+    rows = rows.astype(jnp.float32)
+    if rounding == "pair":
+        hi = jax.lax.optimization_barrier(rows.astype(jnp.bfloat16))
+        res = ((rows - hi.astype(jnp.float32)) * 256.0).astype(jnp.bfloat16)
+        parts = jnp.concatenate([hi, res], axis=1)  # (B, 2*R0)
+    elif rounding == "sr":
+        parts = _stochastic_round_bf16(rows)
+    elif rounding == "single":
+        parts = rows.astype(jnp.bfloat16)
+    elif rounding == "f32":
+        parts = rows
+    else:
+        raise ValueError(f"rounding must be pair/single/sr/f32: {rounding!r}")
+
+    n_parts = parts.shape[1] // R0
+    parts = jnp.concatenate(
+        [parts, jnp.zeros((1, parts.shape[1]), parts.dtype)]
+    )
+    r3 = jnp.take(parts, np.asarray(order), axis=0)  # (nb*M, n_parts*R0)
+    # Spread to packed-layout lanes (the exact one-hot masking commutes
+    # with the rounding above, so the spread materializes in the compute
+    # dtype — half the bytes of spreading f32 then casting).
+    ohk = (
+        jnp.asarray(slot_sorted)[:, :, None]
+        == jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    ).astype(parts.dtype)  # (nb, M, K)
+    r128 = (
+        r3.reshape(nb, M, n_parts, C, 1, F)
+        * ohk[:, :, None, None, :, None]
+    ).reshape(nb, M, n_parts * C * K * F)
+    oh = (
+        jnp.asarray(lo)[:, :, None]
+        == jnp.arange(bucket_width, dtype=jnp.int32)[None, None, :]
+    ).astype(parts.dtype)  # (nb, M, W)
+    out = jnp.einsum(
+        "bmw,bmp->bwp", oh, r128, preferred_element_type=jnp.float32
+    )  # (nb, W, n_parts * 128)
+    lanes = C * K * F
+    if rounding == "pair":
+        out = out[..., :lanes] + (1.0 / 256.0) * out[..., lanes:]
+    return out.reshape(nb * bucket_width, lanes)[:n_out_rows]

@@ -29,6 +29,7 @@ def stratified_uniform(
     dims: int = 2,
     dtype=jnp.float32,
     run_correlated: bool = False,
+    phase_locked: bool = False,
 ) -> jnp.ndarray:
     """One jittered uniform sample per raster tile; raster-ordered.
 
@@ -45,6 +46,15 @@ def stratified_uniform(
         per non-fastest dim at every grid level, which confines the run's
         raster-hashed table accesses to one contiguous window — the
         contract of the grid's windowed fine-level path (PLAN.md).
+      phase_locked: share ONE jitter vector across the WHOLE batch (the
+        batch is a translated raster lattice). Per-sample marginals are
+        still uniform on each tile and coverage is still one sample per
+        tile; across steps the shared phase resamples uniformly, so SGD
+        sees an unbiased, lower-discrepancy stream (quasi-Monte-Carlo
+        style). Structurally this is the contract of the GridEncoding
+        ``phase_locked`` mode: every fine level's table accesses become
+        compile-time static up to one scalar shift (PLAN.md round 3).
+        Mutually exclusive with run_correlated.
 
     Returns:
       (n, dims) positions in [0, 1); sample ``j`` lies in tile
@@ -57,7 +67,16 @@ def stratified_uniform(
         raise ValueError(
             f"stratified_uniform: n={n} is not a perfect {dims}-th power"
         )
-    if run_correlated and dims > 1:
+    if phase_locked and run_correlated:
+        raise ValueError(
+            "stratified_uniform: phase_locked and run_correlated are "
+            "mutually exclusive"
+        )
+    if phase_locked:
+        jitter = jnp.broadcast_to(
+            jax.random.uniform(key, (1, dims), dtype), (n, dims)
+        )
+    elif run_correlated and dims > 1:
         k0, k1 = jax.random.split(key)
         j0 = jax.random.uniform(k0, (n, 1), dtype)
         jr = jax.random.uniform(k1, (n // strata, 1, dims - 1), dtype)
