@@ -98,7 +98,16 @@ def main():
     import tcnn_tpu as tc
 
     args = sys.argv[1:]
-    image = load_image(args[0]) if args else synthetic_image()
+    # --phase-locked: one shared jitter vector per batch + static-index
+    # fine grid levels (PLAN.md round 3). Convergence parity with the
+    # default sampler is part of this sample's golden-PSNR check.
+    phase_locked = "--phase-locked" in args
+    args = [a for a in args if a != "--phase-locked"]
+    image = (
+        load_image(args[0])
+        if args and args[0] not in ("", "-")
+        else synthetic_image()
+    )
     config = (
         tc.loads_config(Path(args[1]).read_text())
         if len(args) > 1 and args[1] not in ("", "-")
@@ -107,9 +116,15 @@ def main():
     n_steps = int(args[2]) if len(args) > 2 else 1000
     batch = 2**18
 
+    if phase_locked:
+        config = json.loads(json.dumps(config))  # deep copy
+        config["encoding"]["phase_locked"] = True
+        config["encoding"].setdefault("gather_strategy", "stratified")
+
     h, w, _ = image.shape
     print(f"Fitting a {w}x{h} image with "
-          f"{config['encoding']['otype']} + {config['network']['otype']}")
+          f"{config['encoding']['otype']} + {config['network']['otype']}"
+          + (" [phase-locked]" if phase_locked else ""))
 
     model = tc.create_from_config(2, 3, config)
     trainer = model.trainer
@@ -122,7 +137,7 @@ def main():
         # Stratified-jitter sampler (see utils/sampling.py): same uniform
         # marginals as the reference's curand loop, lower variance, and the
         # raster layout that unlocks the static coarse-level grid path.
-        xy = stratified_uniform(key, batch, 2)
+        xy = stratified_uniform(key, batch, 2, phase_locked=phase_locked)
         ij_y = jnp.clip((xy[:, 1] * h).astype(jnp.int32), 0, h - 1)
         ij_x = jnp.clip((xy[:, 0] * w).astype(jnp.int32), 0, w - 1)
         # Flat promise_in_bounds lookup (default-mode 2D indexing hits
