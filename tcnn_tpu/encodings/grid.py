@@ -713,11 +713,36 @@ class GridEncoding(Encoding):
             return quad.at[i].get(mode="promise_in_bounds")
 
         def t_fn(res, dfeats):
-            _, dsh = res
-            dpacked = scatter_packed_static_csr(
-                dfeats.reshape(batch, C * F).astype(jnp.float32),
-                order, lo, slot_sorted, nb, M, K, F, size // K, rounding,
-            )  # (size/K, 128)
+            i, dsh = res
+            if rounding == "emitter":
+                # Diagnostic mode (benchmarks/probe_3d_locked2.py): the
+                # hybrid path's slot-spread + bf16 emitter scatter on the
+                # TRACED indices, inside otherwise-identical locked
+                # plumbing — isolates the CSR transpose's composed cost
+                # from the rest of the locked path. Not a config value.
+                slot = i % K
+                row = i // K
+                oh = (
+                    jnp.arange(K, dtype=jnp.int32)[None, :] == slot[:, None]
+                )
+                g = dfeats.reshape(batch, C, 1, F) * oh[
+                    :, None, :, None
+                ].astype(dfeats.dtype)
+                dpacked = (
+                    jnp.zeros((size // K, C * K * F), jnp.bfloat16)
+                    .at[row]
+                    .add(
+                        g.reshape(batch, C * K * F).astype(jnp.bfloat16),
+                        mode="promise_in_bounds",
+                    )
+                    .astype(jnp.float32)
+                )
+                dsh = jnp.zeros((), jnp.int32)  # idx already includes it
+            else:
+                dpacked = scatter_packed_static_csr(
+                    dfeats.reshape(batch, C * F).astype(jnp.float32),
+                    order, lo, slot_sorted, nb, M, K, F, size // K, rounding,
+                )  # (size/K, 128)
             dflat = jnp.zeros((size * F,), jnp.float32)
             for c, delta in enumerate(deltas):
                 blk = dpacked[:, c * K * F : (c + 1) * K * F].reshape(-1)
