@@ -47,10 +47,18 @@ def main():
         default="stratified",
         help="Batch sampler: 'stratified' draws one jittered uniform sample "
         "per raster tile (variance-reduced; enables the gather-free static "
-        "path on coarse grid levels), 'phase_locked' shares ONE jitter "
-        "vector per batch (additionally enables compile-time-static fine "
-        "levels — no scatter emitter at all; PLAN.md round 3), 'iid' "
+        "path on coarse grid levels), 'phase_locked' shares --locked-phases "
+        "jitter vectors per batch (additionally enables compile-time-static "
+        "fine levels — no scatter emitter at all; PLAN.md round 3), 'iid' "
         "matches the reference's curand-uniform loop exactly.",
+    )
+    parser.add_argument(
+        "--locked-phases",
+        type=int,
+        default=8,
+        help="Jitter phases per batch with --sampler phase_locked (more "
+        "phases = more per-step jitter diversity; G=1 measured ~3 dB "
+        "below the image-fit golden band).",
     )
     parser.add_argument(
         "--stratified-variants",
@@ -132,7 +140,7 @@ def main():
             ),
             "stratified_max_variants": args.stratified_variants,
             **(
-                {"phase_locked": True}
+                {"phase_locked": True, "locked_phases": args.locked_phases}
                 if args.sampler == "phase_locked"
                 else {}
             ),
@@ -188,7 +196,11 @@ def main():
             # static-fine-level contract).
             xy = stratified_uniform(
                 key, args.batch, 2,
-                phase_locked=args.sampler == "phase_locked",
+                phase_locked=(
+                    args.locked_phases
+                    if args.sampler == "phase_locked"
+                    else False
+                ),
             )
         else:
             xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)

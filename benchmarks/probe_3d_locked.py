@@ -43,6 +43,7 @@ def config(rounding="pair"):
             "per_level_scale": 1.5, "hash": "CoherentAdditive",
             "gather_strategy": "stratified", "strata": 64,
             "phase_locked": True, "locked_rounding": rounding,
+            "locked_phases": 1,
         },
         "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
                     "n_hidden_layers": 2},

@@ -58,7 +58,9 @@ def config(strategy="stratified", locked=True):
     if strategy == "stratified":
         enc.update({"gather_strategy": "stratified", "strata": 64})
         if locked:
-            enc["phase_locked"] = True
+            # G=1: the exact config that measured 151.7 ms (the
+            # regression under attribution here).
+            enc.update({"phase_locked": True, "locked_phases": 1})
     return {
         "loss": {"otype": "RelativeL2"},
         "optimizer": {"otype": "Adam", "learning_rate": 1e-2,

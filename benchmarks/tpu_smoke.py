@@ -89,6 +89,20 @@ CASES = {
         "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
                     "n_hidden_layers": 2},
     },
+    "hashgrid_locked_gphase": {
+        # Phase-locked G-phase mode (PLAN.md round 3): static-CSR fine
+        # levels with 4 jitter phases; exercises the bucketed one-hot
+        # scatter matmuls + per-phase roll epilogue on device.
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam"},
+        "encoding": {"otype": "HashGrid", "n_levels": 6,
+                     "log2_hashmap_size": 10, "base_resolution": 4,
+                     "per_level_scale": 1.5, "hash": "CoherentAdditive",
+                     "gather_strategy": "stratified", "strata": 32,
+                     "phase_locked": True, "locked_phases": 4},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    },
     "smoothstep_3d_expdecay": {
         "loss": {"otype": "L2"},
         "optimizer": {"otype": "ExponentialDecay", "decay_start": 2,
@@ -199,9 +213,15 @@ def _run_case(name, cfg, n_in):
     stratified = cfg["encoding"].get("gather_strategy") == "stratified"
     if stratified:
         from tcnn_tpu.utils.sampling import stratified_uniform
+    locked = cfg["encoding"].get("locked_phases", 0) if cfg[
+        "encoding"
+    ].get("phase_locked") else 0
     for i in range(8):
         if stratified:
-            x = stratified_uniform(jax.random.PRNGKey(i), 1024, n_in)
+            x = stratified_uniform(
+                jax.random.PRNGKey(i), 1024, n_in,
+                phase_locked=locked or False,
+            )
         else:
             x = jnp.asarray(
                 r.uniform(0, 1, (2048, n_in)).astype(np.float32)

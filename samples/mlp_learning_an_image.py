@@ -98,11 +98,18 @@ def main():
     import tcnn_tpu as tc
 
     args = sys.argv[1:]
-    # --phase-locked: one shared jitter vector per batch + static-index
-    # fine grid levels (PLAN.md round 3). Convergence parity with the
-    # default sampler is part of this sample's golden-PSNR check.
-    phase_locked = "--phase-locked" in args
-    args = [a for a in args if a != "--phase-locked"]
+    # --phase-locked[=G]: G shared jitter vectors per batch (tile j uses
+    # phase j % G) + static-index fine grid levels (PLAN.md round 3).
+    # Convergence parity with the default sampler is part of this
+    # sample's golden-PSNR check; G=1 measured 44.2 dB vs the 47+ dB
+    # band, so the default is G=8.
+    phase_locked = 0
+    for a in args:
+        if a == "--phase-locked":
+            phase_locked = 8
+        elif a.startswith("--phase-locked="):
+            phase_locked = int(a.split("=", 1)[1])
+    args = [a for a in args if not a.startswith("--phase-locked")]
     image = (
         load_image(args[0])
         if args and args[0] not in ("", "-")
@@ -119,12 +126,13 @@ def main():
     if phase_locked:
         config = json.loads(json.dumps(config))  # deep copy
         config["encoding"]["phase_locked"] = True
+        config["encoding"]["locked_phases"] = phase_locked
         config["encoding"].setdefault("gather_strategy", "stratified")
 
     h, w, _ = image.shape
     print(f"Fitting a {w}x{h} image with "
           f"{config['encoding']['otype']} + {config['network']['otype']}"
-          + (" [phase-locked]" if phase_locked else ""))
+          + (f" [phase-locked G={phase_locked}]" if phase_locked else ""))
 
     model = tc.create_from_config(2, 3, config)
     trainer = model.trainer

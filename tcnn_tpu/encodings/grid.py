@@ -252,18 +252,22 @@ class GridEncoding(Encoding):
         self.factored_min_rows = 65536
         self.factored_max_size = 65536
         # Phase-locked stratified mode (PLAN.md round 3): the sampler
-        # shares ONE jitter vector across the whole batch
-        # (utils/sampling.stratified_uniform(phase_locked=True)), which
-        # makes every fine hashed level's cell indices a COMPILE-TIME
-        # constant plus one dynamic scalar table shift. Fine-level scales
-        # are snapped to strata multiples (_apply_phase_lock), and the
-        # table-gradient scatter becomes a static reorder-gather plus
-        # bucketed one-hot MXU matmuls (ops.scatter_packed_static_csr)
-        # instead of the per-row scatter emitter — measured ~2.1x faster
-        # at 3D NeRF scale. Enabled via the "phase_locked" config knob
-        # (requires gather_strategy "stratified").
+        # shares G jitter vectors across the batch, tile j using phase
+        # j % G (utils/sampling.stratified_uniform(phase_locked=G)),
+        # which makes every fine hashed level's cell indices a
+        # COMPILE-TIME constant plus one dynamic scalar table shift per
+        # phase. Fine-level scales are snapped to strata multiples
+        # (_apply_phase_lock), and the table-gradient scatter becomes a
+        # static reorder-gather plus bucketed one-hot MXU matmuls
+        # (ops.scatter_packed_static_csr) instead of the per-row scatter
+        # emitter — measured ~2.1x faster at 3D NeRF scale. Enabled via
+        # the "phase_locked" config knob (requires gather_strategy
+        # "stratified"); "locked_phases" sets G (more phases = more
+        # jitter diversity per step at slightly more transpose overhead;
+        # G=1 measured ~3 dB below the image-fit golden band).
         self.phase_locked = False
         self.strata: Optional[int] = None
+        self.locked_phases = 1
         # Gradient-contribution rounding on the phase-locked scatter:
         # "pair" (compensated bf16, ~3e-6 rel — default) | "single" |
         # "sr" | "f32".
@@ -469,18 +473,28 @@ class GridEncoding(Encoding):
                 out.add(lvl)
         return out
 
-    def _locked_csr(self, lvl: int, base_np: np.ndarray, size: int, K: int):
-        """Cached static-CSR structure over a level's packed-row targets."""
-        key = (lvl, len(base_np))
+    def _locked_csr(
+        self,
+        lvl: int,
+        base_np: np.ndarray,
+        size: int,
+        K: int,
+        n_phases: int = 1,
+        phase: int = 0,
+    ):
+        """Cached static-CSR structure over one phase's packed-row targets
+        (phase g owns rows ``g::n_phases`` of the batch)."""
+        key = (lvl, len(base_np), n_phases, phase)
         hit = self._csr_cache.get(key)
         if hit is None:
             from ..ops.scatter_rows import build_static_csr
 
-            prow = base_np.astype(np.int64) // K
+            sub = base_np[phase::n_phases]
+            prow = sub.astype(np.int64) // K
             order, lo, nb, M = build_static_csr(prow, size // K, 128)
-            slot = (base_np.astype(np.int64) % K).astype(np.int32)
+            slot = (sub.astype(np.int64) % K).astype(np.int32)
             ss = np.full(order.shape, -1, np.int32)
-            mask = order < len(base_np)
+            mask = order < len(sub)
             ss[mask] = slot[order[mask]]
             hit = (order, lo, ss.reshape(nb, M), nb, M)
             self._csr_cache[key] = hit
@@ -697,9 +711,10 @@ class GridEncoding(Encoding):
             deltas.append(delta % size)
         n_params = params.shape[0]
         batch = idx.shape[0]
-        order, lo, slot_sorted, nb, M = self._locked_csr(
-            lvl, base_np, size, K
-        )
+        G = int(self.locked_phases)
+        csrs = [
+            self._locked_csr(lvl, base_np, size, K, G, g) for g in range(G)
+        ]
         rounding = self.locked_rounding
 
         def p_fn(res, p):
@@ -737,19 +752,34 @@ class GridEncoding(Encoding):
                     )
                     .astype(jnp.float32)
                 )
-                dsh = jnp.zeros((), jnp.int32)  # idx already includes it
+                dsh = None  # idx already includes every phase's shift
+                packs = [dpacked]
             else:
-                dpacked = scatter_packed_static_csr(
-                    dfeats.reshape(batch, C * F).astype(jnp.float32),
-                    order, lo, slot_sorted, nb, M, K, F, size // K, rounding,
-                )  # (size/K, 128)
+                rows = dfeats.reshape(batch, C * F).astype(jnp.float32)
+                rows = rows.reshape(batch // G, G, C * F)
+                packs = []
+                for g in range(G):
+                    order, lo, slot_sorted, nb, M = csrs[g]
+                    packs.append(
+                        scatter_packed_static_csr(
+                            rows[:, g, :], order, lo, slot_sorted, nb, M,
+                            K, F, size // K, rounding,
+                        )  # (size/K, 128)
+                    )
+            # Per-corner static delta rolls (shared across phases), then
+            # one dynamic per-phase shift roll — rolls are shift-additive
+            # so the phase sum commutes with the corner sum.
             dflat = jnp.zeros((size * F,), jnp.float32)
-            for c, delta in enumerate(deltas):
-                blk = dpacked[:, c * K * F : (c + 1) * K * F].reshape(-1)
-                dflat = dflat + (
-                    jnp.roll(blk, delta * F) if delta else blk
-                )
-            dflat = jnp.roll(dflat, dsh.astype(jnp.int32) * F)
+            for g, dpacked in enumerate(packs):
+                acc = jnp.zeros((size * F,), jnp.float32)
+                for c, delta in enumerate(deltas):
+                    blk = dpacked[:, c * K * F : (c + 1) * K * F].reshape(-1)
+                    acc = acc + (
+                        jnp.roll(blk, delta * F) if delta else blk
+                    )
+                if dsh is not None:
+                    acc = jnp.roll(acc, dsh[g].astype(jnp.int32) * F)
+                dflat = dflat + acc
             out = jnp.zeros((n_params,), jnp.float32)
             return jax.lax.dynamic_update_slice(out, dflat, (F * off,))
 
@@ -1026,13 +1056,24 @@ class GridEncoding(Encoding):
         )
         locked_info: dict = {}
         i_const = None
+        n_phases = 1
+        g_const = None
         if locked_set:
+            n_phases = int(self.locked_phases)
+            if n_phases < 1 or batch % n_phases:
+                raise ValueError(
+                    f"locked_phases={n_phases} must be a positive divisor "
+                    f"of the batch size {batch}"
+                )
             ids_np = np.arange(batch, dtype=np.int64)
             i_np = np.stack(
                 [(ids_np // strat_strata**k) % strat_strata for k in range(d)],
                 axis=1,
             )
             i_const = jnp.asarray(i_np.astype(np.int32))  # (B, d) tiles
+            g_const = jnp.asarray(
+                (ids_np % n_phases).astype(np.int32)
+            )  # (B,) phase of each tile
         if strat_strata and not separable_ok:
             # On-device raster-tile contract check (cheap VPU compares):
             # sample j must lie in tile j (dim i tile = (j // strata^i) %
@@ -1050,16 +1091,18 @@ class GridEncoding(Encoding):
                     contract_ok, jnp.all((diff >= 0) & (diff <= 1))
                 )
             if locked_set:
-                # Phase-lock contract: every sample shares ONE within-tile
-                # jitter vector (utils/sampling.stratified_uniform with
-                # phase_locked=True). The locked levels' static indices
-                # assume it; violation NaN-poisons the output below.
+                # Phase-lock contract: tile j's within-tile jitter vector
+                # equals phase j % G's (utils/sampling.stratified_uniform
+                # with phase_locked=G for any G dividing locked_phases).
+                # The locked levels' static indices assume it; violation
+                # NaN-poisons the output below.
                 frac = x * jnp.float32(strat_strata) - i_const.astype(
                     jnp.float32
                 )
+                frac_ref = jnp.take(frac[:n_phases], g_const, axis=0)
                 contract_ok = jnp.logical_and(
                     contract_ok,
-                    jnp.all(jnp.abs(frac - frac[0]) <= 2e-3),
+                    jnp.all(jnp.abs(frac - frac_ref) <= 2e-3),
                 )
         for lvl in range(L):
             scale = float(self.scales[lvl])
@@ -1098,22 +1141,32 @@ class GridEncoding(Encoding):
                 pos_grid = pg.astype(jnp.int32)
                 t = (scale / float(0xFFFFFFFF)) * rem.astype(jnp.float32)
             elif lvl in locked_set:
-                # Phase-locked level: cell = tile * q + E with integral
-                # q = scale / strata and E = floor(pos of tile 0) — a
-                # shared scalar per dim (the whole batch shares one jitter
-                # vector, verified by the contract check above). Indices
-                # derive from the PREDICTED grid so they are static up to
-                # one scalar; t keeps the per-sample position (exact input
-                # gradients). A global off-by-one of E at a cell boundary
-                # is harmless by lerp continuity (t compensates).
+                # Phase-locked level: cell = tile * q + E_g with integral
+                # q = scale / strata and E_g = floor(grid pos of phase
+                # g's jitter) — one (d,) int vector per phase (tile j
+                # uses phase j % G, verified by the contract check
+                # above). Indices derive from the PREDICTED grid so they
+                # are static up to G scalars; t keeps the per-sample
+                # position (exact input gradients). A global off-by-one
+                # of E at a cell boundary is harmless by lerp continuity
+                # (t compensates).
                 pos = x * scale + 0.5
-                e0 = pos[0]  # (d,) — sample 0 is tile (0, ..., 0)
-                E = jnp.floor(e0).astype(jnp.int32)
                 q = int(scale) // strat_strata
-                pos_grid = i_const * jnp.int32(q) + E[None, :]
+                G = n_phases
+                # Samples 0..G-1 carry phases 0..G-1; subtract their
+                # static tile offsets to recover each phase's E.
+                tg = jnp.asarray(i_np[:G].astype(np.int32))  # (G, d)
+                Eg = (
+                    jnp.floor(pos[:G]).astype(jnp.int32)
+                    - tg * jnp.int32(q)
+                )  # (G, d)
+                pos_grid = i_const * jnp.int32(q) + jnp.take(
+                    Eg, g_const, axis=0
+                )
                 t = pos - pos_grid.astype(jnp.float32)
-                # Static base indices (numpy, cached) + the dynamic scalar
-                # shift for the locked lookup's static-CSR transpose.
+                # Static base indices (numpy, cached) + the dynamic
+                # per-phase scalar shifts for the locked lookup's
+                # static-CSR transpose.
                 bkey = (lvl, batch)
                 base_np = self._locked_base_cache.get(bkey)
                 if base_np is None:
@@ -1128,10 +1181,10 @@ class GridEncoding(Encoding):
                         acc &= 0xFFFFFFFF
                     base_np = (acc % np.uint64(level_size)).astype(np.int32)
                     self._locked_base_cache[bkey] = base_np
-                dsh = jnp.zeros((), jnp.uint32)
+                dsh = jnp.zeros((G,), jnp.uint32)
                 strides_l = self._level_strides(lvl)
                 for dim in range(d):
-                    dsh = dsh + E[dim].astype(jnp.uint32) * jnp.uint32(
+                    dsh = dsh + Eg[:, dim].astype(jnp.uint32) * jnp.uint32(
                         strides_l[dim] & 0xFFFFFFFF
                     )
                 locked_info[lvl] = (
@@ -1545,6 +1598,7 @@ class GridEncoding(Encoding):
         if self.phase_locked:
             hp["phase_locked"] = True
             hp["locked_rounding"] = self.locked_rounding
+            hp["locked_phases"] = self.locked_phases
         return hp
 
 
@@ -1639,6 +1693,11 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         if enc.locked_rounding not in ("pair", "single", "sr", "f32"):
             raise ValueError(
                 f"invalid locked_rounding {enc.locked_rounding!r}"
+            )
+        enc.locked_phases = int(json_value(encoding, "locked_phases", 8))
+        if enc.locked_phases < 1:
+            raise ValueError(
+                f"locked_phases must be >= 1: {enc.locked_phases}"
             )
         if json_value(encoding, "phase_locked", False):
             # Phase-locked stratified mode: fine hashed levels run with

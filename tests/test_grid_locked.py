@@ -268,3 +268,89 @@ def test_sampler_phase_locked_contract():
             jax.random.PRNGKey(0), B, 2, run_correlated=True,
             phase_locked=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# G-phase locking (locked_phases > 1): G shared jitter vectors per batch,
+# tile j on phase j % G — restores per-step jitter diversity (G=1 measured
+# 44.2 dB vs the 47+ dB image-fit golden band) while every fine level stays
+# compile-time static up to G scalar shifts.
+
+
+@pytest.mark.parametrize("G", [2, 8])
+def test_gphase_matches_fallback(G):
+    enc = make_enc(locked_phases=G)
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(
+        rng.normal(0, 0.1, (enc.n_params,)).astype(np.float32)
+    )
+    x = stratified_uniform(jax.random.PRNGKey(7), B, 2, phase_locked=G)
+    y = enc.apply(params, x)
+    y_ref = enc.apply(params, x, stratified=False)
+    assert jnp.isfinite(y).all()
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0, atol=1e-5
+    )
+
+    def loss(p, locked):
+        yy = enc.apply(p, x, stratified=None if locked else False)
+        return jnp.sum(jnp.sin(yy))
+
+    g = jax.grad(loss)(params, True)
+    g_ref = jax.grad(loss)(params, False)
+    scale = float(jnp.abs(g_ref).max()) + 1e-30
+    assert float(jnp.abs(g - g_ref).max()) / scale < 2e-5
+
+
+def test_gphase_sampler_divisibility_contract():
+    enc = make_enc(locked_phases=4)
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(
+        rng.normal(0, 0.1, (enc.n_params,)).astype(np.float32)
+    )
+    # sampler G' divides grid G: valid (phase groups refine correctly)
+    for gp in (1, 2, 4):
+        x = stratified_uniform(jax.random.PRNGKey(5), B, 2, phase_locked=gp)
+        assert jnp.isfinite(enc.apply(params, x)).all(), gp
+    # sampler G' NOT dividing grid G, and per-sample jitter: poisoned
+    x8 = stratified_uniform(jax.random.PRNGKey(5), B, 2, phase_locked=8)
+    assert jnp.isnan(enc.apply(params, x8)).any()
+    xs = stratified_uniform(jax.random.PRNGKey(5), B, 2)
+    assert jnp.isnan(enc.apply(params, xs)).any()
+
+
+def test_gphase_second_order():
+    enc = make_enc(locked_phases=2, interpolation="Smoothstep")
+    rng = np.random.default_rng(2)
+    params = jnp.asarray(
+        rng.normal(0, 0.1, (enc.n_params,)).astype(np.float32)
+    )
+    x = stratified_uniform(jax.random.PRNGKey(9), B, 2, phase_locked=2)
+
+    def eikonal(p):
+        def f(xx):
+            return jnp.sum(enc.apply(p, xx))
+
+        g = jax.grad(lambda xx: f(xx))(x)
+        return jnp.sum((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    g2 = jax.grad(eikonal)(params)
+    assert jnp.isfinite(g2).all()
+
+
+def test_gphase_sampler_layout():
+    G = 4
+    x = np.asarray(
+        stratified_uniform(jax.random.PRNGKey(11), B, 2, phase_locked=G)
+    )
+    ids = np.arange(B)
+    tiles = np.stack([ids % STRATA, ids // STRATA], axis=1)
+    frac = x * STRATA - tiles
+    assert (frac >= 0).all() and (frac < 1).all()
+    # exactly G distinct jitter vectors, assigned by j % G
+    for g in range(G):
+        assert np.abs(frac[g::G] - frac[g]).max() < 1e-5
+    distinct = {tuple(np.round(f, 6)) for f in frac[:G]}
+    assert len(distinct) == G
+    with pytest.raises(ValueError, match="divisor"):
+        stratified_uniform(jax.random.PRNGKey(0), B, 2, phase_locked=7)
