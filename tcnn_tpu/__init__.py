@@ -33,10 +33,12 @@ from .losses import builtin_losses, create_loss, register_loss
 from .network_with_input_encoding import NetworkWithInputEncoding
 from .networks import create_network
 from .optimizers import create_optimizer
+from .serving import FrozenServer
 from .trainer import Trainer
 
 __all__ = [
     "Activation",
+    "FrozenServer",
     "GridType",
     "HashType",
     "InterpolationType",

@@ -944,12 +944,21 @@ class GridEncoding(Encoding):
         rng=None,
         stratified: Optional[bool] = None,
         raster_side: Optional[int] = None,
+        served_tables: Optional[dict] = None,
     ):
         """Encode positions.
 
         Args:
           params: flat (n_params,) parameter slice.
           x: (batch, n_dims) positions, nominally in [0, 1]^d.
+          served_tables: optional prebuilt quad tables from
+            ``serving_tables`` (production serving: the per-call quad
+            builds are loop-invariant when params are frozen, so
+            ``FrozenServer`` hoists them out of the jitted program and
+            passes them here as device-resident inputs). Levels present
+            in the dict gather directly from their prebuilt table;
+            differentiation w.r.t. ``params`` does NOT see those levels
+            (serving only).
           max_level: optional coarse-to-fine masking in [0, 1]; levels
             ``l >= max_level * n_levels + 1e-3`` output zeros
             (reference: grid.h:69-92).
@@ -1405,7 +1414,16 @@ class GridEncoding(Encoding):
                         and self.index_mode is None
                         and mode.startswith("xla")
                     )
-                    if lvl in locked_info:
+                    if served_tables is not None and lvl in served_tables:
+                        # Production serving: gather from the prebuilt
+                        # quad table (built once by serving_tables; the
+                        # per-call roll+concat quad build is loop-
+                        # invariant under frozen params). Table is
+                        # already in the forward dtype.
+                        feats = gather_rows(
+                            served_tables[lvl], idx, mode
+                        ).reshape(batch, n_corners, F)
+                    elif lvl in locked_info:
                         # Phase-locked: static-CSR transpose (no scatter
                         # emitter at all); forward identical to hybrid.
                         base_np, d_shift = locked_info[lvl]
@@ -1519,7 +1537,47 @@ class GridEncoding(Encoding):
         y = y.reshape(batch, L * F)
         return self._pad(y)
 
-    def apply_raster(self, params, side, max_level: Optional[float] = None):
+    def serving_tables(self, params) -> dict:
+        """Prebuild the per-level quad tables for production serving.
+
+        The quad build (per-corner static rolls + lane concat of each
+        level's parameter slice, ``_quad_table``) re-executes inside every
+        jitted inference call even though it is loop-invariant under
+        frozen params. ``FrozenServer`` (serving.py) runs this ONCE under
+        jit, keeps the result device-resident, and passes it back through
+        ``apply(..., served_tables=...)`` so per-call work is gathers +
+        interpolation + MLP only. Tables are stored in the forward dtype
+        (``table_dtype``), matching the training forward's storage
+        rounding.
+
+        Covers every level with affine index strides (additive-hash fine
+        levels and dense/tiled raster levels — the levels the quad path
+        can serve); the stratified/separable coarse paths read parameter
+        windows directly and need no prebuild. Memory: 2^d * F floats per
+        cell, i.e. 2^d x the level's parameter bytes.
+
+        The reference has no analogue (its inference re-runs the training
+        kernels); this is the TPU-native equivalent of resident
+        ``params_inference`` (reference: trainer.h:171-186).
+        """
+        F = self.n_features_per_level
+        table = params.reshape(-1, F)
+        fd = self._forward_dtype()
+        out = {}
+        for lvl in range(self.n_levels):
+            if self._level_strides(lvl) is None:
+                continue
+            quad = self._quad_table(table, lvl)
+            out[lvl] = quad.astype(fd) if fd is not None else quad
+        return out
+
+    def apply_raster(
+        self,
+        params,
+        side,
+        max_level: Optional[float] = None,
+        served_tables: Optional[dict] = None,
+    ):
         """Encode the tile-center raster (serving layout:
         ``utils.sampling.raster_centers`` — sample j at the center of
         raster tile j, dim 0 fastest). ``side`` is an int (cubic raster,
@@ -1570,9 +1628,13 @@ class GridEncoding(Encoding):
             # raster-stride levels (strictly faster than the stratified
             # variant machinery: no masks, no variants, no contract check).
             return self.apply(
-                params, x, max_level=max_level, raster_side=sides
+                params, x, max_level=max_level, raster_side=sides,
+                served_tables=served_tables,
             )
-        return self.apply(params, x, max_level=max_level, stratified=False)
+        return self.apply(
+            params, x, max_level=max_level, stratified=False,
+            served_tables=served_tables,
+        )
 
     def hyperparams(self):
         hp = {

@@ -1,0 +1,121 @@
+"""Production serving: frozen-parameter inference with prebuilt tables.
+
+``FrozenServer`` snapshots a trainer's inference parameters and hoists
+every loop-invariant table build out of the per-call jitted program:
+
+- the grid encoding's per-level quad tables (per-corner rolls + lane
+  concat of each level's parameter slice) are built ONCE under jit and
+  kept device-resident (``GridEncoding.serving_tables``); per-call work
+  is gathers + interpolation + MLP only;
+- programs are traced under ``ffmlp_inference_mode`` (serving-optimal
+  network routing) and cached per input shape / raster side;
+- parameters are a snapshot: training further does not change a server
+  (rebuild one to pick up new weights) — the TPU-native equivalent of
+  the reference's resident inference params (trainer.h:171-186), whose
+  inference path re-runs the training kernels on a separate stream
+  (reference: benchmarks/mlp/bench_mlp_ours.cu:64-137).
+
+Usage::
+
+    server = trainer.freeze_serving()
+    y = server(x)                  # arbitrary (B, d) batches
+    img = server.raster((w, h))    # full-raster evaluation (fastest)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FrozenServer:
+    def __init__(self, trainer):
+        self.model = trainer.model
+        self.n_output_dims = int(self.model.n_output_dims)
+        # Device-side COPY: the trainer's jitted step donates its state
+        # buffers, so holding a reference to the live params would be
+        # invalidated by the next training step.
+        self._params = jax.jit(jnp.copy)(trainer.inference_params())
+        self._tables: Optional[Dict] = None
+        enc = getattr(self.model, "encoding", None)
+        net = getattr(self.model, "network", None)
+        if (
+            enc is not None
+            and net is not None
+            and hasattr(enc, "serving_tables")
+        ):
+            n_net = net.n_params
+
+            def _build(p):
+                return enc.serving_tables(p[n_net:])
+
+            tables = jax.jit(_build)(self._params)
+            if tables:
+                self._tables = tables
+        self._batch_jits: Dict = {}
+        self._raster_jits: Dict = {}
+
+    # -- entry points -----------------------------------------------------------
+    def __call__(self, x) -> jnp.ndarray:
+        """Serve an arbitrary (B, d) batch; returns (B, n_output_dims)
+        float32. Jitted and cached per input shape."""
+        key = tuple(x.shape)
+        fn = self._batch_jits.get(key)
+        if fn is None:
+            enc = getattr(self.model, "encoding", None)
+            # Arbitrary serving batches use the per-sample fallback (the
+            # stratified static path would NaN-poison non-raster layouts).
+            static_kw = (
+                {"stratified": False}
+                if getattr(enc, "gather_strategy", None) == "stratified"
+                else {}
+            )
+            pass_tables = self._tables is not None
+
+            def _infer(params, tables, xx):
+                kw = dict(static_kw)
+                if pass_tables:
+                    kw["served_tables"] = tables
+                out = self.model.apply(params, xx, **kw)
+                return out[:, : self.n_output_dims].astype(jnp.float32)
+
+            fn = self._batch_jits[key] = jax.jit(_infer)
+        from .networks.fully_fused import ffmlp_inference_mode
+
+        with ffmlp_inference_mode():
+            return fn(self._params, self._tables, x)
+
+    def raster(self, side: Union[int, Tuple[int, ...]]) -> jnp.ndarray:
+        """Serve the full tile-center raster (``utils.sampling
+        .raster_centers`` layout); returns (prod(sides), n_output_dims)
+        float32. The fastest serving form: static-index coarse levels +
+        prebuilt-table fine gathers."""
+        side = (
+            int(side) if np.isscalar(side) else tuple(int(s) for s in side)
+        )
+        fn = self._raster_jits.get(side)
+        if fn is None:
+            if hasattr(self.model, "apply_raster"):
+
+                def _infer(params, tables):
+                    kw = {"served_tables": tables} if tables is not None else {}
+                    out = self.model.apply_raster(params, side, **kw)
+                    return out[:, : self.n_output_dims].astype(jnp.float32)
+
+            else:
+                from .utils.sampling import raster_centers
+
+                x = raster_centers(side, self.model.n_input_dims)
+
+                def _infer(params, tables):
+                    out = self.model.apply(params, x)
+                    return out[:, : self.n_output_dims].astype(jnp.float32)
+
+            fn = self._raster_jits[side] = jax.jit(_infer)
+        from .networks.fully_fused import ffmlp_inference_mode
+
+        with ffmlp_inference_mode():
+            return fn(self._params, self._tables)

@@ -299,6 +299,16 @@ class Trainer:
         with ffmlp_inference_mode():  # trace-time serving-optimal routing
             return jits[side](self.inference_params())
 
+    def freeze_serving(self):
+        """Production serving handle: snapshots the current inference
+        params, prebuilds the grid's per-level quad tables ONCE
+        (device-resident), and serves batches/rasters through
+        consume-only jitted programs (see serving.FrozenServer). The
+        handle is a snapshot — training further does not change it."""
+        from .serving import FrozenServer
+
+        return FrozenServer(self)
+
     # -- hyperparams ------------------------------------------------------------
     def update_hyperparams(self, params: Dict):
         self.optimizer.update_hyperparams(params.get("optimizer", {}))
