@@ -36,6 +36,16 @@ def main():
     parser.add_argument("--log2-hashmap", type=int, default=15)
     parser.add_argument("--per-level-scale", type=float, default=1.5)
     parser.add_argument(
+        "--serving",
+        action="store_true",
+        help="Measure SERVING throughput instead of training: "
+        "trainer.freeze_serving() (prebuilt quad tables) rendering the "
+        "512^2 raster and a 1024^2 raster, pipelined. Prints the serving "
+        "JSON line (metric: flagship_serving_throughput). Baseline: the "
+        "reference's fully-fused inference protocol "
+        "(benchmarks/mlp/bench_mlp_ours.cu:64-137, ~1e9-class elem/s).",
+    )
+    parser.add_argument(
         "--sort-batch",
         action="store_true",
         help="Morton-sort each batch before the step (same training "
@@ -165,6 +175,37 @@ def main():
 
     model = tc.create_from_config(2, 3, config)
     trainer = model.trainer
+
+    if args.serving:
+        # Serving protocol: FrozenServer (prebuilt quad tables,
+        # device-resident) rendering the 1024^2 tile-center raster,
+        # pipelined — the production novel-view/serving shape. The
+        # reference's serving headline is the fully-fused inference
+        # protocol (benchmarks/mlp/bench_mlp_ours.cu:64-137), ~1e9-class.
+        server = trainer.freeze_serving()
+        side = 1024
+        n = side * side
+        y = server.raster((side, side))
+        _ = float(y.ravel()[0])  # warm + sync
+        reps = 16
+        t0 = time.perf_counter()
+        outs = [server.raster((side, side)) for _ in range(reps)]
+        _ = float(outs[-1].ravel()[0])
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        samples_per_sec = n / ms * 1e3
+        result = {
+            "metric": "flagship_serving_throughput_raster1024_frozen",
+            "value": round(samples_per_sec, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_sec / 1e9, 4),
+        }
+        print(json.dumps(result))
+        print(
+            f"# serving {ms:.3f} ms per 1024^2 raster, "
+            f"backend={jax.default_backend()}",
+            file=sys.stderr,
+        )
+        return
 
     # Synthetic "image": smooth multi-frequency texture, sampled nearest.
     res = 512

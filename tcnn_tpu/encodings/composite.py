@@ -149,16 +149,38 @@ class CompositeEncoding(Encoding):
         return np.concatenate(parts)
 
     # -- compute ----------------------------------------------------------------
-    def apply(self, params, x):
+    def serving_tables(self, params) -> dict:
+        """Prebuilt serving tables of every nested encoding that supports
+        them (e.g. the NRC preset's hash grid), keyed by nested index —
+        consumed by ``apply(..., served_tables=...)`` (see
+        GridEncoding.serving_tables / serving.FrozenServer)."""
+        out = {}
+        off = 0
+        for i, enc in enumerate(self.nested):
+            if enc.n_params > 0 and hasattr(enc, "serving_tables"):
+                sub = enc.serving_tables(params[off : off + enc.n_params])
+                if sub:
+                    out[i] = sub
+            off += enc.n_params
+        return out
+
+    def apply(self, params, x, served_tables=None):
         outputs = []
         param_offset = 0
-        for enc, begin in zip(self.nested, self.dims_to_encode_begin):
+        for i, (enc, begin) in enumerate(
+            zip(self.nested, self.dims_to_encode_begin)
+        ):
             p = None
             if enc.n_params > 0:
                 p = params[param_offset : param_offset + enc.n_params]
             param_offset += enc.n_params
             xin = x[:, begin : begin + enc.n_dims_to_encode]
-            outputs.append(enc.apply(p, xin))
+            kw = (
+                {"served_tables": served_tables[i]}
+                if served_tables is not None and i in served_tables
+                else {}
+            )
+            outputs.append(enc.apply(p, xin, **kw))
 
         if self.reduction_type == ReductionType.Concatenation:
             y = jnp.concatenate(outputs, axis=1)

@@ -143,3 +143,27 @@ def test_plain_network_model():
         np.asarray(m.trainer.inference(x)), np.asarray(server(x)),
         rtol=0, atol=1e-5,
     )
+
+
+def test_composite_nrc_serving():
+    # NRC preset: Composite(grid + oneblob + ...) — nested grid tables
+    # prebuild through CompositeEncoding.serving_tables.
+    m = tc.create_from_config(9, 3, {
+        "loss": {"otype": "RelativeL2Luminance"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {"otype": "NRC"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    })
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.uniform(0, 1, (128, 9)).astype(np.float32))
+    m.training_step(x, jnp.asarray(
+        r.uniform(0, 1, (128, 3)).astype(np.float32)
+    ))
+    server = m.trainer.freeze_serving()
+    y_live = m.trainer.inference(x)
+    y_srv = server(x)
+    assert jnp.isfinite(y_srv).all()
+    np.testing.assert_allclose(
+        np.asarray(y_live), np.asarray(y_srv), rtol=0, atol=1e-5
+    )
