@@ -61,6 +61,11 @@ def config(strategy="stratified", locked=True):
             # G=1: the exact config that measured 151.7 ms (the
             # regression under attribution here).
             enc.update({"phase_locked": True, "locked_phases": 1})
+    else:
+        # The 121.1 ms incumbent (probe_3d_decomp) is the QUAD strategy;
+        # the first run of this probe omitted it and measured the
+        # per-level-gather default at 664 ms — not the baseline.
+        enc["gather_strategy"] = "quad"
     return {
         "loss": {"otype": "RelativeL2"},
         "optimizer": {"otype": "Adam", "learning_rate": 1e-2,
