@@ -212,3 +212,46 @@ def test_pre_sharded_inputs_skip_device_put():
     assert out is placed  # identity: no copy, no transfer
     loss = dp.training_step(placed, jnp.zeros((256, 3), jnp.float32))
     assert np.isfinite(float(loss))
+
+
+def test_data_parallel_phase_locked():
+    """Phase-locked static-CSR levels under batch sharding: the bucketed
+    one-hot einsums contract the (sharded) batch axis, so XLA inserts
+    the table-gradient psum; the embedded static index constants shard
+    with the batch. Parity vs the single-device trainer on identical
+    phase-locked batches."""
+    from tcnn_tpu.utils.sampling import stratified_uniform
+
+    cfg = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {
+            "otype": "HashGrid", "n_levels": 6, "n_features_per_level": 2,
+            "log2_hashmap_size": 10, "base_resolution": 4,
+            "per_level_scale": 2.0, "hash": "CoherentAdditive",
+            "gather_strategy": "stratified", "strata": 32,
+            "phase_locked": True, "locked_phases": 4,
+        },
+        "network": {"otype": "CutlassMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    }
+    single = tc.create_from_config(2, 3, cfg, seed=5)
+    assert single.model.encoding._locked_levels(32), "no locked levels"
+    dp_model = tc.create_from_config(2, 3, cfg, seed=5)
+    dp = DataParallelTrainer(dp_model.trainer, make_mesh(jax.devices()))
+
+    for i in range(4):
+        xy = stratified_uniform(
+            jax.random.PRNGKey(i), 1024, 2, phase_locked=4
+        )
+        t = jnp.asarray(_target(np.asarray(xy)))
+        l1 = float(single.training_step(xy, t))
+        l2 = float(dp.training_step(xy, t))
+        assert np.isfinite(l2)
+        assert abs(l1 - l2) / max(abs(l1), 1e-9) < 5e-2
+    np.testing.assert_allclose(
+        np.asarray(single.trainer.params),
+        np.asarray(dp.trainer.state["params"]),
+        rtol=2e-2,
+        atol=2e-4,
+    )
