@@ -113,6 +113,15 @@ def main():
     cfg2 = json.loads(json.dumps(DEFAULT_CONFIG))
     cfg2["encoding"].update({"phase_locked": True, "locked_phases": 1})
     fit("C locked-pair G=1", cfg2, locked_phases=1)
+
+    # D: locked pair G=1 with snap tolerance 3.5% — level 11 keeps its
+    # exact reference scale (1384.4; the +11% snap was the geometry
+    # outlier) and runs factored; levels 12-15 lock.
+    cfg3 = json.loads(json.dumps(DEFAULT_CONFIG))
+    cfg3["encoding"].update(
+        {"phase_locked": True, "locked_phases": 1, "locked_snap_tol": 0.035}
+    )
+    fit("D locked-tol3.5% G=1", cfg3, locked_phases=1)
     print("PROBE_DONE", flush=True)
 
 

@@ -268,6 +268,9 @@ class GridEncoding(Encoding):
         self.phase_locked = False
         self.strata: Optional[int] = None
         self.locked_phases = 1
+        # Max relative scale move a level may take to join the locked
+        # set (see _apply_phase_lock); 1.0 = snap everything snappable.
+        self.locked_snap_tol = 1.0
         # Gradient-contribution rounding on the phase-locked scatter:
         # "pair" (compensated bf16, ~3e-6 rel — default) | "single" |
         # "sr" | "f32".
@@ -415,14 +418,19 @@ class GridEncoding(Encoding):
         indices. Only power-of-two-size hashed levels above the coarse
         static path snap (mod-2^32 index folding must distribute over the
         table-size mod), and only when snapping preserves the level's
-        param count (checkpoint layout) and hashed classification. Scales
-        move by at most strata/2 (<= 2.4% relative at the first snapped
-        level) — a documented deviation from the reference's exact
-        per_level_scale geometry, opt-in via the "phase_locked" knob.
+        param count (checkpoint layout) and hashed classification —
+        AND only when the relative scale move is within
+        ``locked_snap_tol`` (the first snappable level can move a lot:
+        the 2D flagship's level 11 moves 1384 -> 1536 = +11%; levels a
+        tolerance excludes keep exact reference scales and stay on the
+        factored/hybrid scatter paths). A documented deviation from the
+        reference's exact per_level_scale geometry, opt-in via the
+        "phase_locked" knob.
         """
         self.phase_locked = True
         self.strata = int(strata)
         d = self.n_dims_to_encode
+        tol = float(getattr(self, "locked_snap_tol", 1.0))
         for lvl in range(self.n_levels):
             scale = float(self.scales[lvl])
             if (
@@ -436,6 +444,8 @@ class GridEncoding(Encoding):
             if size & (size - 1):
                 continue
             snapped = max(int(round(scale / strata)), 1) * int(strata)
+            if abs(snapped - scale) / scale > tol:
+                continue  # keep the exact reference scale; level unlocked
             res = snapped + 1  # integer scale: ceil(scale) + 1
             if res**d <= size:
                 continue  # would flip to dense indexing / shrink the level
@@ -1760,6 +1770,13 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         if enc.locked_phases < 1:
             raise ValueError(
                 f"locked_phases must be >= 1: {enc.locked_phases}"
+            )
+        enc.locked_snap_tol = float(
+            json_value(encoding, "locked_snap_tol", 1.0)
+        )
+        if not 0.0 <= enc.locked_snap_tol:
+            raise ValueError(
+                f"locked_snap_tol must be >= 0: {enc.locked_snap_tol}"
             )
         if json_value(encoding, "phase_locked", False):
             # Phase-locked stratified mode: fine hashed levels run with

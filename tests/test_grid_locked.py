@@ -354,3 +354,19 @@ def test_gphase_sampler_layout():
     assert len(distinct) == G
     with pytest.raises(ValueError, match="divisor"):
         stratified_uniform(jax.random.PRNGKey(0), B, 2, phase_locked=7)
+
+
+def test_snap_tolerance_excludes_outliers():
+    # tol excludes the big-move first snappable level; it keeps its exact
+    # reference scale and stays unlocked, the rest lock; layout unchanged.
+    tight = make_enc(locked_snap_tol=1e-6)
+    loose = make_enc()
+    ref = make_enc(phase_locked=False)
+    assert tight.n_params == ref.n_params
+    assert len(tight._locked_levels(STRATA)) <= len(
+        loose._locked_levels(STRATA)
+    )
+    for lvl in range(tight.n_levels):
+        if lvl not in tight._locked_levels(STRATA):
+            if float(ref.scales[lvl]) % STRATA:
+                assert float(tight.scales[lvl]) == float(ref.scales[lvl])
