@@ -162,6 +162,49 @@ CASES = {
 }
 
 
+def _csr_precision_case():
+    """On-device NUMERICAL check of scatter_packed_static_csr's rounding
+    contract — rel error vs a numpy dense reduction. CPU parity tests
+    cannot see the TPU MXU's default-precision f32->bf16 operand
+    truncation (round-2 postmortem trap #2; it silently degraded the
+    'f32' mode to uncompensated single truncation, 37.8 dB on the
+    image-fit golden until the HIGHEST fix)."""
+    import jax.numpy as jnp
+
+    from tcnn_tpu.ops.scatter_rows import (
+        build_static_csr,
+        scatter_packed_static_csr,
+    )
+
+    rng = np.random.default_rng(7)
+    B_, S, C, F = 4096, 2048, 4, 2
+    K = 128 // (C * F)
+    cells = rng.integers(0, S, B_)
+    prow, slot = cells // K, cells % K
+    order, lo, nb, M = build_static_csr(prow, S // K, 128)
+    ss = np.full(order.shape, -1, np.int32)
+    mask = order < B_
+    ss[mask] = slot[order[mask]].astype(np.int32)
+    rows = rng.normal(0, 1, (B_, C * F)).astype(np.float32)
+    want = np.zeros((S // K, 128), np.float64)
+    for j in range(B_):
+        for c in range(C):
+            for f in range(F):
+                want[prow[j], c * K * F + slot[j] * F + f] += rows[j, c * F + f]
+    scale = np.abs(want).max()
+    for rounding, tol in (("f32", 1e-6), ("pair", 1e-4), ("single", 2e-2)):
+        got = np.asarray(
+            jax.jit(
+                lambda r, rd=rounding: scatter_packed_static_csr(
+                    r, order, lo, ss.reshape(nb, M), nb, M, K, F,
+                    S // K, rd,
+                )
+            )(jnp.asarray(rows))
+        )
+        rel = np.abs(got - want).max() / scale
+        assert rel < tol, f"csr {rounding}: rel {rel:.2e} >= {tol}"
+
+
 def _eikonal_case():
     """Second-order (grad∘grad) compiles and descends on-device through
     the fast paths — the Mosaic-facing side of tests/test_second_order."""
@@ -296,16 +339,20 @@ def main():
                 failures.append(name)
                 break
 
-    try:
-        t0 = time.time()
-        _eikonal_case()
-        print(f"OK  eikonal_second_order ({time.time()-t0:.0f}s)", flush=True)
-        results["eikonal_second_order"] = "ok"
-    except Exception as e:
-        print(f"FAIL eikonal_second_order: {type(e).__name__}: "
-              f"{str(e)[:200]}", flush=True)
-        results["eikonal_second_order"] = f"fail: {type(e).__name__}"
-        failures.append("eikonal_second_order")
+    for cname, fn in (
+        ("eikonal_second_order", _eikonal_case),
+        ("csr_precision", _csr_precision_case),
+    ):
+        try:
+            t0 = time.time()
+            fn()
+            print(f"OK  {cname} ({time.time()-t0:.0f}s)", flush=True)
+            results[cname] = "ok"
+        except Exception as e:
+            print(f"FAIL {cname}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            results[cname] = f"fail: {type(e).__name__}"
+            failures.append(cname)
 
     # Result file recorded in-repo — the driver/verify gate for Mosaic
     # regressions (VERDICT r1 #7).

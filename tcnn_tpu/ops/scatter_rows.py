@@ -902,8 +902,17 @@ def scatter_packed_static_csr(
         jnp.asarray(lo)[:, :, None]
         == jnp.arange(bucket_width, dtype=jnp.int32)[None, None, :]
     ).astype(parts.dtype)  # (nb, M, W)
+    # "f32" promises exact accumulation, but the TPU MXU's DEFAULT
+    # precision truncates f32 operands to bf16 (the round-2 precision
+    # postmortem's trap #2) — on-device that silently degrades "f32" to
+    # an uncompensated single-truncation mode (measured 37.8 dB on the
+    # image-fit golden vs 44.2 for "pair"; CPU parity tests cannot see
+    # it). HIGHEST forces the 3-pass f32 contraction. The bf16 modes'
+    # operands are already bf16 — native MXU, no truncation to prevent.
+    prec = jax.lax.Precision.HIGHEST if rounding == "f32" else None
     out = jnp.einsum(
-        "bmw,bmp->bwp", oh, r128, preferred_element_type=jnp.float32
+        "bmw,bmp->bwp", oh, r128, preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (nb, W, n_parts * 128)
     lanes = C * K * F
     if rounding == "pair":
