@@ -49,7 +49,7 @@ import tcnn_tpu as tc  # noqa: E402
 from tcnn_tpu.utils.sampling import stratified_uniform  # noqa: E402
 
 
-def config(strategy="stratified", locked=True):
+def config(strategy="stratified", locked=True, max_variants=None):
     enc = {
         "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
         "log2_hashmap_size": 19, "base_resolution": 16,
@@ -57,6 +57,11 @@ def config(strategy="stratified", locked=True):
     }
     if strategy == "stratified":
         enc.update({"gather_strategy": "stratified", "strata": 64})
+        if max_variants is not None:
+            # stratified_max_variants=1 => raster_max_scale=0: NO coarse
+            # static path (coarse levels ride quad), fine levels still
+            # lock — isolates the 3D one-hot window upsampling cost.
+            enc["stratified_max_variants"] = max_variants
         if locked:
             # G=1: the exact config that measured 151.7 ms (the
             # regression under attribution here).
@@ -105,8 +110,11 @@ def main():
         ("strat", config(locked=False)),
         ("lock-emitter", config()),
         ("lock-pair", config()),
+        ("lock-nocoarse", config(max_variants=1)),
+        ("lock-single-nocoarse", config(max_variants=1)),
     ]
-    rounding = {"lock-emitter": "emitter", "lock-pair": "pair"}
+    rounding = {"lock-emitter": "emitter", "lock-pair": "pair",
+                "lock-nocoarse": "pair", "lock-single-nocoarse": "single"}
     for name, cfg in cases:
         model = tc.create_from_config(3, 3, cfg, seed=1)
         trainer = model.trainer
