@@ -224,6 +224,49 @@ def main():
     mse = float(np.mean((pred - gt) ** 2))
     psnr = -10 * np.log10(mse) if mse > 0 else float("inf")
     print(f"validation view PSNR: {psnr:.2f} dB")
+
+    # Real-time serving benchmark: the same frame through prebuilt grid
+    # tables (GridEncoding.serving_tables — the FrozenServer split), so
+    # per-frame work is field evals + volume rendering only. Each frame
+    # is res^2 rays x N_SAMPLES field evaluations in one dispatch.
+    enc = getattr(model.model, "encoding", None)
+    if enc is not None and hasattr(enc, "serving_tables"):
+        n_net = model.model.network.n_params
+        tables = jax.jit(
+            lambda p: enc.serving_tables(p[n_net:])
+        )(state["params"])
+
+        @jax.jit
+        def render_served(params, tbl):
+            def f(p, d):
+                out = model.model.apply(
+                    params,
+                    jnp.concatenate([p, (d + 1.0) * 0.5], axis=1),
+                    served_tables=tbl,
+                ).astype(jnp.float32)
+                return (
+                    jax.nn.softplus(out[:, 3] - 1.0),
+                    jax.nn.sigmoid(out[:, :3]),
+                )
+
+            return render(f, origins, dirs)
+
+        frame = render_served(state["params"], tables)
+        _ = float(frame.ravel()[0])
+        n_frames = 30
+        t0 = time.perf_counter()
+        frames = [
+            render_served(state["params"], tables) for _ in range(n_frames)
+        ]
+        _ = float(frames[-1].ravel()[0])
+        dt = time.perf_counter() - t0
+        evals = res * res * N_SAMPLES
+        print(
+            f"served render: {n_frames} frames of {res}^2 x {N_SAMPLES} "
+            f"samples in {dt:.2f}s -> {n_frames/dt:.1f} FPS "
+            f"({evals*n_frames/dt/1e6:.1f} M field evals/s)",
+            flush=True,
+        )
     if len(sys.argv) > 3:
         # Optional output dir (3rd arg); no artifacts are written otherwise
         # so test runs leave the working tree clean.
