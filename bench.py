@@ -63,6 +63,15 @@ def main():
         "matches the reference's curand-uniform loop exactly.",
     )
     parser.add_argument(
+        "--ema",
+        type=float,
+        default=0.0,
+        help="Wrap the optimizer in EMA with this decay (0 = off). "
+        "Inference/serving then run on the averaged weights — the "
+        "reference's optimizers/ema.h; pairs with --sampler phase_locked "
+        "to average the phase-dither equilibrium across steps.",
+    )
+    parser.add_argument(
         "--locked-phases",
         type=int,
         default=8,
@@ -123,14 +132,22 @@ def main():
     # beta2=0.99/eps=1e-15/l2_reg=1e-6).
     config = {
         "loss": {"otype": "RelativeL2"},
-        "optimizer": {
-            "otype": "Adam",
-            "learning_rate": 1e-2,
-            "beta1": 0.9,
-            "beta2": 0.99,
-            "epsilon": 1e-15,
-            "l2_reg": 1e-6,
-        },
+        "optimizer": (
+            lambda adam: (
+                {"otype": "EMA", "decay": args.ema, "nested": adam}
+                if args.ema
+                else adam
+            )
+        )(
+            {
+                "otype": "Adam",
+                "learning_rate": 1e-2,
+                "beta1": 0.9,
+                "beta2": 0.99,
+                "epsilon": 1e-15,
+                "l2_reg": 1e-6,
+            }
+        ),
         "encoding": {
             "otype": "HashGrid",
             "n_levels": 16,
