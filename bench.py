@@ -40,9 +40,9 @@ def main():
         action="store_true",
         help="Measure SERVING throughput instead of training: "
         "trainer.freeze_serving() (prebuilt quad tables) rendering the "
-        "512^2 raster and a 1024^2 raster, pipelined. Prints the serving "
-        "JSON line (metric: flagship_serving_throughput). Baseline: the "
-        "reference's fully-fused inference protocol "
+        "1024^2 raster, pipelined x16. Prints the serving JSON line "
+        "(metric: flagship_serving_throughput_raster1024_frozen). "
+        "Baseline: the reference's fully-fused inference protocol "
         "(benchmarks/mlp/bench_mlp_ours.cu:64-137, ~1e9-class elem/s).",
     )
     parser.add_argument(

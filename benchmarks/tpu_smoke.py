@@ -286,11 +286,20 @@ def _run_case(name, cfg, n_in):
 
 def _dump_repro_ir(name, cfg, n_in):
     """Lower (client-side; works even when the remote COMPILE fails) the
-    failing case's train step and save the StableHLO as a minimal repro."""
+    failing case's train step and save the StableHLO as a minimal repro.
+    Uses the SAME batch size/layout the case ran (stratified cases run
+    batch 1024 — a perfect power — so the static/locked grid paths are
+    actually in the dumped program; a non-power batch would silently
+    lower the per-sample fallback instead)."""
     try:
         model = tc.create_from_config(n_in, 3, cfg, seed=1)
-        x = jnp.zeros((2048, n_in), jnp.float32)
-        t = jnp.zeros((2048, 3), jnp.float32)
+        batch = (
+            1024
+            if cfg["encoding"].get("gather_strategy") == "stratified"
+            else 2048
+        )
+        x = jnp.zeros((batch, n_in), jnp.float32)
+        t = jnp.zeros((batch, 3), jnp.float32)
         trainer = model.trainer
         ir = trainer._jit_train_step.lower(trainer.state, x, t).as_text()
         out = Path(__file__).resolve().parent / "mosaic_repro"

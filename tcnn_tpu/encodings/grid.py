@@ -1570,6 +1570,11 @@ class GridEncoding(Encoding):
         kernels); this is the TPU-native equivalent of resident
         ``params_inference`` (reference: trainer.h:171-186).
         """
+        if self.gather_strategy not in ("quad", "stratified"):
+            # per_level/fused strategies gather vertices (idx.ndim == 2)
+            # — the quad-row served branch never runs, so prebuilding
+            # would hold 2^d x the parameter bytes for nothing.
+            return {}
         F = self.n_features_per_level
         table = params.reshape(-1, F)
         fd = self._forward_dtype()
@@ -1671,6 +1676,7 @@ class GridEncoding(Encoding):
             hp["phase_locked"] = True
             hp["locked_rounding"] = self.locked_rounding
             hp["locked_phases"] = self.locked_phases
+            hp["locked_snap_tol"] = self.locked_snap_tol
         return hp
 
 

@@ -320,7 +320,10 @@ def test_gphase_sampler_divisibility_contract():
 
 
 def test_gphase_second_order():
-    enc = make_enc(locked_phases=2, interpolation="Smoothstep")
+    # Linear interpolation: _locked_levels requires it — Smoothstep
+    # would silently test the unlocked fallback instead.
+    enc = make_enc(locked_phases=2)
+    assert enc._locked_levels(STRATA), "locked set empty — test is void"
     rng = np.random.default_rng(2)
     params = jnp.asarray(
         rng.normal(0, 0.1, (enc.n_params,)).astype(np.float32)
