@@ -1772,7 +1772,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
             raise ValueError(
                 f"invalid locked_rounding {enc.locked_rounding!r}"
             )
-        enc.locked_phases = int(json_value(encoding, "locked_phases", 8))
+        enc.locked_phases = int(json_value(encoding, "locked_phases", 1))
         if enc.locked_phases < 1:
             raise ValueError(
                 f"locked_phases must be >= 1: {enc.locked_phases}"
