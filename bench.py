@@ -63,6 +63,14 @@ def main():
         "matches the reference's curand-uniform loop exactly.",
     )
     parser.add_argument(
+        "--locked-rounding",
+        default=None,
+        choices=["pair", "single", "sr", "f32"],
+        help="Gradient-contribution rounding of the phase-locked CSR "
+        "scatter (default pair; 'single' = one bf16 pass, the "
+        "reference's half grad_t regime — faster, noisier).",
+    )
+    parser.add_argument(
         "--ema",
         type=float,
         default=0.0,
@@ -168,7 +176,15 @@ def main():
             ),
             "stratified_max_variants": args.stratified_variants,
             **(
-                {"phase_locked": True, "locked_phases": args.locked_phases}
+                {
+                    "phase_locked": True,
+                    "locked_phases": args.locked_phases,
+                    **(
+                        {"locked_rounding": args.locked_rounding}
+                        if args.locked_rounding
+                        else {}
+                    ),
+                }
                 if args.sampler == "phase_locked"
                 else {}
             ),
