@@ -71,6 +71,14 @@ def main():
         "reference's half grad_t regime — faster, noisier).",
     )
     parser.add_argument(
+        "--locked-fwd",
+        default=None,
+        choices=["unpacked", "packed"],
+        help="Locked-level forward form: 'packed' gathers compact "
+        "(B,128) packed rows + KxK constant one-hot slot select "
+        "(avoids the unpacked gather's lane-padded output).",
+    )
+    parser.add_argument(
         "--ema",
         type=float,
         default=0.0,
@@ -182,6 +190,11 @@ def main():
                     **(
                         {"locked_rounding": args.locked_rounding}
                         if args.locked_rounding
+                        else {}
+                    ),
+                    **(
+                        {"locked_fwd": args.locked_fwd}
+                        if args.locked_fwd
                         else {}
                     ),
                 }

@@ -271,6 +271,10 @@ class GridEncoding(Encoding):
         # Max relative scale move a level may take to join the locked
         # set (see _apply_phase_lock); 1.0 = snap everything snappable.
         self.locked_snap_tol = 1.0
+        # Locked-level FORWARD form: "unpacked" (plain quad gather) or
+        # "packed" (compact (B, 128) packed-row gather + K x K constant
+        # one-hot slot select — see _quad_lookup_locked's p_fn).
+        self.locked_fwd = "unpacked"
         # Gradient-contribution rounding on the phase-locked scatter:
         # "pair" (compensated bf16, ~3e-6 rel — default) | "single" |
         # "sr" | "f32".
@@ -727,10 +731,28 @@ class GridEncoding(Encoding):
         ]
         rounding = self.locked_rounding
 
+        fwd_mode = getattr(self, "locked_fwd", "unpacked")
+
         def p_fn(res, p):
             i, _ = res
-            quad = self._quad_table(p.reshape(-1, F), lvl)
             fd = self._forward_dtype()
+            if fwd_mode == "packed":
+                # Packed-row forward: the (B, 128) gather output is
+                # layout-COMPACT (the unpacked (B, C*F)-narrow output
+                # lane-pads 8-16x and pays a conversion copy), and the
+                # slot select's one-hot comes from a K x K constant
+                # table (locked indices make slot = static base % K plus
+                # a per-phase scalar — no per-sample compare chain).
+                qp = self._quad_table_packed(p, lvl)
+                if fd is not None:
+                    qp = qp.astype(fd)
+                g = qp.at[i // K].get(mode="promise_in_bounds")
+                oh = jnp.eye(K, dtype=g.dtype)[i % K]  # (B, K)
+                rows = (
+                    g.reshape(batch, C, K, F) * oh[:, None, :, None]
+                ).sum(2)
+                return rows.reshape(batch, C * F).astype(jnp.float32)
+            quad = self._quad_table(p.reshape(-1, F), lvl)
             if fd is not None:
                 return quad.astype(fd).at[i].get(
                     mode="promise_in_bounds"
@@ -1784,6 +1806,9 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
             raise ValueError(
                 f"locked_snap_tol must be >= 0: {enc.locked_snap_tol}"
             )
+        enc.locked_fwd = json_value(encoding, "locked_fwd", "unpacked")
+        if enc.locked_fwd not in ("unpacked", "packed"):
+            raise ValueError(f"invalid locked_fwd {enc.locked_fwd!r}")
         if json_value(encoding, "phase_locked", False):
             # Phase-locked stratified mode: fine hashed levels run with
             # compile-time-static indices (see _apply_phase_lock). Batches

@@ -373,3 +373,33 @@ def test_snap_tolerance_excludes_outliers():
         if lvl not in tight._locked_levels(STRATA):
             if float(ref.scales[lvl]) % STRATA:
                 assert float(tight.scales[lvl]) == float(ref.scales[lvl])
+
+
+@pytest.mark.parametrize("d_strata", [(2, STRATA), (3, 8)])
+def test_locked_fwd_packed_parity(d_strata):
+    # The packed locked forward (compact (B,128) gather + KxK constant
+    # one-hot select) is an exact relayout of the unpacked quad gather.
+    d, strata = d_strata
+    B_ = strata**d
+    over = dict(strata=strata, locked_phases=2)
+    if d == 3:
+        over.update(log2_hashmap_size=10, n_levels=6)
+    enc_u = make_enc(d=d, **over, locked_fwd="unpacked")
+    enc_p = make_enc(d=d, **over, locked_fwd="packed")
+    assert enc_p._locked_levels(strata)
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(
+        rng.normal(0, 0.1, (enc_u.n_params,)).astype(np.float32)
+    )
+    x = stratified_uniform(jax.random.PRNGKey(3), B_, d, phase_locked=2)
+    np.testing.assert_array_equal(
+        np.asarray(enc_u.apply(params, x)),
+        np.asarray(enc_p.apply(params, x)),
+    )
+
+    def g(enc):
+        return jax.grad(
+            lambda p: jnp.sum(jnp.sin(enc.apply(p, x) * 3.0))
+        )(params)
+
+    np.testing.assert_array_equal(np.asarray(g(enc_u)), np.asarray(g(enc_p)))
