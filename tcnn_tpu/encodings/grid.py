@@ -1699,6 +1699,7 @@ class GridEncoding(Encoding):
             hp["locked_rounding"] = self.locked_rounding
             hp["locked_phases"] = self.locked_phases
             hp["locked_snap_tol"] = self.locked_snap_tol
+            hp["locked_fwd"] = self.locked_fwd
         return hp
 
 
