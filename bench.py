@@ -87,10 +87,13 @@ def main():
     parser.add_argument(
         "--locked-fwd",
         default=None,
-        choices=["unpacked", "packed"],
+        choices=["unpacked", "packed", "csr"],
         help="Locked-level forward form: 'packed' gathers compact "
         "(B,128) packed rows + KxK constant one-hot slot select "
-        "(avoids the unpacked gather's lane-padded output).",
+        "(avoids the unpacked gather's lane-padded output); 'csr' "
+        "routes the lookup around the gather emitter entirely via the "
+        "backward's static-CSR bucket one-hot matmuls (table "
+        "pair-rounded to bf16, ~3e-6 rel).",
     )
     parser.add_argument(
         "--ema",

@@ -273,7 +273,10 @@ class GridEncoding(Encoding):
         self.locked_snap_tol = 1.0
         # Locked-level FORWARD form: "unpacked" (plain quad gather) or
         # "packed" (compact (B, 128) packed-row gather + K x K constant
-        # one-hot slot select — see _quad_lookup_locked's p_fn).
+        # one-hot slot select; "csr" = bucket one-hot MXU matmuls on
+        # the backward's static-CSR structure, no gather emitter at
+        # all (table pair-rounded to bf16, ~3e-6 rel) — see
+        # _quad_lookup_locked's p_fn).
         self.locked_fwd = "unpacked"
         # Gradient-contribution rounding on the phase-locked scatter:
         # "pair" (compensated bf16, ~3e-6 rel — default) | "single" |
@@ -510,7 +513,12 @@ class GridEncoding(Encoding):
             ss = np.full(order.shape, -1, np.int32)
             mask = order < len(sub)
             ss[mask] = slot[order[mask]]
-            hit = (order, lo, ss.reshape(nb, M), nb, M)
+            # Inverse permutation for the CSR *forward* (locked_fwd
+            # "csr"): sub-batch row j's position in the bucket-sorted
+            # (nb * M) layout.
+            inv = np.empty(len(sub), np.int32)
+            inv[order[mask]] = np.nonzero(mask)[0].astype(np.int32)
+            hit = (order, lo, ss.reshape(nb, M), nb, M, inv)
             self._csr_cache[key] = hit
         return hit
 
@@ -734,8 +742,80 @@ class GridEncoding(Encoding):
         fwd_mode = getattr(self, "locked_fwd", "unpacked")
 
         def p_fn(res, p):
-            i, _ = res
+            i, dsh = res
             fd = self._forward_dtype()
+            if fwd_mode == "csr":
+                # Static-CSR forward (PLAN.md round 3): the gather
+                # emitter charges its per-row rate even on compile-time-
+                # constant indices, so route the lookup around it — the
+                # same bucket structure as the backward transpose, run
+                # forward: per 128-packed-row bucket, one-hot MXU matmul
+                # selects the needed rows in bucket-sorted order, the
+                # STATIC slot/corner select narrows to (nb*M, C*F), and
+                # one static take un-permutes to batch order. The packed
+                # table is pre-rounded to an error-compensated bf16 pair
+                # (two native-MXU passes, ~3e-6 rel on features — same
+                # compensation as the "pair" scatter; the reference
+                # stores forward tables in half outright, grid.h:660-671).
+                # The dynamic per-phase shift rides a 1D roll of the
+                # level's FLAT slice before the packed build (exact:
+                # cell (b + s) of the unrolled table == cell b of the
+                # rolled one).
+                off_f = F * off
+                size_f = F * size
+                flat = jax.lax.dynamic_slice(p, (off_f,), (size_f,))
+                flat2 = jnp.concatenate([flat, flat])
+                W = 128
+                outs = []
+                for g in range(G):
+                    order, lo, slot_sorted, nb, M, inv = csrs[g]
+                    sh = (dsh[g].astype(jnp.int32)) * F
+                    rolled = jax.lax.dynamic_slice(flat2, (sh,), (size_f,))
+                    rolls = []
+                    for delta in deltas:
+                        rr = jnp.roll(rolled, -delta * F) if delta else rolled
+                        rolls.append(rr.reshape(size // K, K * F))
+                    qp = jnp.concatenate(rolls, axis=1)  # (size/K, 128)
+                    if nb * W > size // K:
+                        qp = jnp.pad(qp, ((0, nb * W - size // K), (0, 0)))
+                    hi = jax.lax.optimization_barrier(
+                        qp.astype(jnp.bfloat16)
+                    )
+                    resid = (
+                        (qp - hi.astype(jnp.float32)) * 256.0
+                    ).astype(jnp.bfloat16)
+                    oh = (
+                        jnp.asarray(lo)[:, :, None]
+                        == jnp.arange(W, dtype=jnp.int32)[None, None, :]
+                    )
+                    ohk = (
+                        jnp.asarray(slot_sorted)[:, :, None]
+                        == jnp.arange(K, dtype=jnp.int32)[None, None, :]
+                    ).astype(jnp.float32)
+
+                    def core(tab, oh=oh, ohk=ohk, nb=nb, M=M):
+                        rows = jnp.einsum(
+                            "bmw,bwp->bmp",
+                            oh.astype(tab.dtype),
+                            tab.reshape(nb, W, C * K * F),
+                            preferred_element_type=jnp.float32,
+                        )
+                        return (
+                            rows.reshape(nb, M, C, K, F)
+                            * ohk[:, :, None, :, None]
+                        ).sum(3)  # (nb, M, C, F)
+
+                    sel = core(hi) + (1.0 / 256.0) * core(resid)
+                    outs.append(
+                        jnp.take(
+                            sel.reshape(-1, C * F),
+                            jnp.asarray(inv),
+                            axis=0,
+                        )
+                    )
+                # Interleave phases back to batch order (sample j =
+                # phase j % G at within-phase position j // G).
+                return jnp.stack(outs, axis=1).reshape(batch, C * F)
             if fwd_mode == "packed":
                 # Packed-row forward: the (B, 128) gather output is
                 # layout-COMPACT (the unpacked (B, C*F)-narrow output
@@ -791,7 +871,7 @@ class GridEncoding(Encoding):
                 rows = rows.reshape(batch // G, G, C * F)
                 packs = []
                 for g in range(G):
-                    order, lo, slot_sorted, nb, M = csrs[g]
+                    order, lo, slot_sorted, nb, M, _inv = csrs[g]
                     packs.append(
                         scatter_packed_static_csr(
                             rows[:, g, :], order, lo, slot_sorted, nb, M,
@@ -1816,7 +1896,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
                 f"locked_snap_tol must be >= 0: {enc.locked_snap_tol}"
             )
         enc.locked_fwd = json_value(encoding, "locked_fwd", "unpacked")
-        if enc.locked_fwd not in ("unpacked", "packed"):
+        if enc.locked_fwd not in ("unpacked", "packed", "csr"):
             raise ValueError(f"invalid locked_fwd {enc.locked_fwd!r}")
         if json_value(encoding, "phase_locked", False):
             # Phase-locked stratified mode: fine hashed levels run with

@@ -403,3 +403,42 @@ def test_locked_fwd_packed_parity(d_strata):
         )(params)
 
     np.testing.assert_array_equal(np.asarray(g(enc_u)), np.asarray(g(enc_p)))
+
+
+@pytest.mark.parametrize("d_strata", [(2, STRATA), (3, 8)])
+def test_locked_fwd_csr_parity(d_strata):
+    # The CSR locked forward (bucket one-hot matmuls on the backward's
+    # static-CSR structure) pre-rounds the table to an error-compensated
+    # bf16 pair: features match the unpacked gather to ~3e-6 rel (the
+    # pair residual carries 16 effective mantissa bits; same scheme as
+    # the "pair" scatter, ops/scatter_rows.py). The params-gradient is
+    # the SAME hand-written transpose either way (linear_call t_fn) so
+    # the grads wrt params agree bitwise; only the primal (and grads
+    # routed through it, e.g. input grads) see the table rounding.
+    d, strata = d_strata
+    B_ = strata**d
+    over = dict(strata=strata, locked_phases=2)
+    if d == 3:
+        over.update(log2_hashmap_size=10, n_levels=6)
+    enc_u = make_enc(d=d, **over, locked_fwd="unpacked")
+    enc_c = make_enc(d=d, **over, locked_fwd="csr")
+    assert enc_c._locked_levels(strata)
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(
+        rng.normal(0, 0.1, (enc_u.n_params,)).astype(np.float32)
+    )
+    x = stratified_uniform(jax.random.PRNGKey(3), B_, d, phase_locked=2)
+    yu = np.asarray(enc_u.apply(params, x))
+    yc = np.asarray(enc_c.apply(params, x))
+    assert not np.isnan(yc).any()
+    scale = np.abs(yu).max() + 1e-12
+    assert np.abs(yc - yu).max() / scale < 1e-5
+
+    def g(enc):
+        return np.asarray(jax.grad(
+            lambda p: jnp.sum(enc.apply(p, x) * 3.0)
+        )(params))
+
+    # Linear post-map => cotangents are params-independent constants and
+    # the shared t_fn sees identical inputs: grads agree bitwise.
+    np.testing.assert_array_equal(g(enc_u), g(enc_c))
