@@ -1864,16 +1864,18 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         strata = json_value(
             encoding, "strata", 512 if n_dims_to_encode == 2 else 64
         )
-        # Default 3 in 2D; 1 in 3D (= NO static coarse path: the 3D
-        # one-hot window upsampling over the 64^3 tile grid measured
-        # +50 ms/step on the NeRF-scale config — stratified 172.5 vs
-        # quad 122.1 ms, probe_3d_locked2; round 1 agreed, 263 vs 256.
-        # Coarse 3D levels ride the quad path instead; fine levels keep
-        # the stratified/locked machinery. Explicit configs override.
+        # Default 3 in 2D; 2 in 3D. The 3D window cost is cubic in the
+        # window size: variants=3 (raster_max_scale 128, 27 one-hot
+        # window shifts on up-to-129^3 dense grids) measured +50 ms/step
+        # on the NeRF-scale config (stratified 172.5 vs quad 122.1 ms,
+        # probe_3d_locked2), but variants=2 (only scale<=64 levels
+        # static, 8 shifts on <=55^3 grids) WINS: 98.9 -> 87.7 ms/step
+        # locked-single composed (probe_3d_variants). Explicit configs
+        # override.
         enc.stratified_max_variants = json_value(
             encoding,
             "stratified_max_variants",
-            3 if n_dims_to_encode == 2 else 1,
+            3 if n_dims_to_encode == 2 else 2,
         )
         enc.raster_max_scale = float(
             (enc.stratified_max_variants - 1) * strata

@@ -422,6 +422,11 @@ def test_locked_fwd_csr_parity(d_strata):
         over.update(log2_hashmap_size=10, n_levels=6)
     enc_u = make_enc(d=d, **over, locked_fwd="unpacked")
     enc_c = make_enc(d=d, **over, locked_fwd="csr")
+    # Compare primals in f32: the table pair-rounding's ~3e-6 error can
+    # flip one ulp of the default bf16 output cast, which a bf16-domain
+    # comparison mistakes for an 8e-4 miss.
+    enc_u.output_dtype = jnp.float32
+    enc_c.output_dtype = jnp.float32
     assert enc_c._locked_levels(strata)
     rng = np.random.default_rng(0)
     params = jnp.asarray(
