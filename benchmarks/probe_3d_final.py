@@ -75,8 +75,15 @@ def main():
                            phase_locked=True)
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3))
 
-    for rounding in ("pair", "single"):
-        for fwd in ("unpacked", "packed"):
+    combos = [
+        (r, f)
+        for r in ("pair", "single")
+        for f in ("unpacked", "packed")
+    ]
+    if len(sys.argv) > 1:  # e.g. "pair/unpacked single/unpacked"
+        combos = [tuple(a.split("/")) for a in sys.argv[1:]]
+    for rounding, fwd in combos:
+        if True:
             model = tc.create_from_config(
                 3, 3, config(rounding, fwd), seed=1
             )

@@ -240,6 +240,10 @@ class GridEncoding(Encoding):
         # "packed" forces the symmetric packed gather+select. All three
         # are exact relayouts of the same linear map.
         self.quad_pack = "auto"
+        # Quad-table build form: "view" (global (N, F) view slice) or
+        # "flat" (per-level 1D rolls; no narrow global view). "auto" =
+        # flat for d >= 3 — see _quad_table.
+        self.quad_build = "auto"
         # Table-gradient reduction: "auto" picks the hierarchically
         # factored one-hot MXU scatter (ops/scatter_rows.py) for large
         # batches on per-level tables, XLA's scatter emitter otherwise;
@@ -551,23 +555,54 @@ class GridEncoding(Encoding):
             return jnp.bfloat16
         return None
 
-    def _quad_table(self, table, lvl: int, strides: Optional[List[int]] = None):
+    def _quad_table(self, params, lvl: int, strides: Optional[List[int]] = None):
         """Per-level (size, 2^d * F) cell table: row i holds the features of
         all 2^d corners of the cell whose base-vertex index is i. Built with
         static rolls of the vertex table (their VJP turns the backward into
-        one scatter row per cell plus cheap roll adjoints)."""
+        one scatter row per cell plus cheap roll adjoints).
+
+        ``params`` is the FLAT (n_params,) vector. Two equivalent builds
+        (knob ``quad_build``; rolls of (size, F) rows == rolls of the flat
+        slice by delta*F, row-major):
+
+        - "view": slice the global ``params.reshape(-1, F)`` view. In 3D
+          at NeRF scale that (6.5M, 2)-narrow view materializes 64x
+          lane-PADDED and its forward+adjoint layout traffic measured
+          ~24 ms/step (reshape.39 9.8 + pad_add 5.1 + reshape.401 4.5 +
+          copy 4.4 — probe_3d_profile2/probe_3d_hlo_names).
+        - "flat": per-corner 1D rolls of the level's flat slice, reshaped
+          (size, F) locally — no global narrow view anywhere. In 2D at
+          flagship scale the view build measured 1 ms BETTER composed
+          (round-2 session 3 #2: XLA amortizes the 2D rolls into its
+          concat fusion and the global view costs only ~0.3 ms there).
+
+        "auto" = flat for d >= 3, view for 2D.
+        """
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
-        sl = table[off : off + size]
+        F = self.n_features_per_level
         if strides is None:
             strides = self._level_strides(lvl)
-        cols = []
+        build = getattr(self, "quad_build", "auto")
+        if build == "auto":
+            build = "flat" if self.n_dims_to_encode >= 3 else "view"
+        deltas = []
         for cbits in self._corners:
             delta = 0
             for dim, bit in enumerate(cbits):
                 delta += int(bit) * strides[dim]
-            delta %= size
-            cols.append(jnp.roll(sl, -delta, axis=0) if delta else sl)
+            deltas.append(delta % size)
+        if build == "flat":
+            fl = params[F * off : F * (off + size)]
+            cols = [
+                (jnp.roll(fl, -d * F) if d else fl).reshape(size, F)
+                for d in deltas
+            ]
+        else:
+            sl = params.reshape(-1, F)[off : off + size]
+            cols = [
+                jnp.roll(sl, -d, axis=0) if d else sl for d in deltas
+            ]
         return jnp.concatenate(cols, axis=1)
 
     def _pack_k(self) -> int:
@@ -644,7 +679,7 @@ class GridEncoding(Encoding):
         batch = idx.shape[0]
 
         def p_fn(i, p):
-            quad = self._quad_table(p.reshape(-1, F), lvl)
+            quad = self._quad_table(p, lvl)
             fd = self._forward_dtype()
             if fd is not None:
                 # Storage rounding inside the linear pair: half-width
@@ -832,7 +867,7 @@ class GridEncoding(Encoding):
                     g.reshape(batch, C, K, F) * oh[:, None, :, None]
                 ).sum(2)
                 return rows.reshape(batch, C * F).astype(jnp.float32)
-            quad = self._quad_table(p.reshape(-1, F), lvl)
+            quad = self._quad_table(p, lvl)
             if fd is not None:
                 return quad.astype(fd).at[i].get(
                     mode="promise_in_bounds"
@@ -979,7 +1014,7 @@ class GridEncoding(Encoding):
             tensors = new
         return tensors[()].reshape(F, int(np.prod(sides)))
 
-    def _stratified_feats(self, table, lvl: int, strata: int, bits):
+    def _stratified_feats(self, params, lvl: int, strata: int, bits):
         """Gather-free corner features for one coarse level of a stratified
         batch (PLAN.md): unfold the raster-hashed quad table to the dense
         (res,)*d vertex grid (pure tile+reshape), upsample it to the
@@ -996,7 +1031,7 @@ class GridEncoding(Encoding):
         dim_bits, c0, n_var = bits
         d = self.n_dims_to_encode
         res = int(self.resolutions[lvl])
-        quad = self._quad_table(table, lvl)  # (size, C) raster strides
+        quad = self._quad_table(params, lvl)  # (size, C) raster strides
         size, C = quad.shape
         n_cells = res**d
         reps = -(-n_cells // size)
@@ -1437,7 +1472,7 @@ class GridEncoding(Encoding):
             q_offsets = []
             q_off = 0
             for lvl in range(L):
-                quads.append(self._quad_table(table, lvl))
+                quads.append(self._quad_table(params, lvl))
                 q_offsets.append(q_off)
                 q_off += quads[-1].shape[0]
             supertable = jnp.concatenate(quads, axis=0)  # (sum sizes, C*F)
@@ -1509,7 +1544,7 @@ class GridEncoding(Encoding):
                 if idx is None:
                     # Stratified static path — no random access (PLAN.md).
                     feats = self._stratified_feats(
-                        table, lvl, strat_strata, strat_bits[lvl]
+                        params, lvl, strat_strata, strat_bits[lvl]
                     ).reshape(batch, n_corners, F)
                 elif idx.ndim == 1:
                     # Quad-row path: ONE random access per cell (PLAN.md).
@@ -1565,7 +1600,7 @@ class GridEncoding(Encoding):
                         sel = jax.nn.one_hot(idx % K, K, dtype=g.dtype)
                         feats = jnp.sum(g * sel[:, None, :, None], axis=2)
                     else:
-                        quad = self._quad_table(table, lvl)  # (size, C*F)
+                        quad = self._quad_table(params, lvl)  # (size, C*F)
                         if size <= self.onehot_threshold:
                             # Tiny level: route the lookup through the MXU
                             # as a one-hot matmul — the VJP becomes a dense
@@ -1677,14 +1712,12 @@ class GridEncoding(Encoding):
             # — the quad-row served branch never runs, so prebuilding
             # would hold 2^d x the parameter bytes for nothing.
             return {}
-        F = self.n_features_per_level
-        table = params.reshape(-1, F)
         fd = self._forward_dtype()
         out = {}
         for lvl in range(self.n_levels):
             if self._level_strides(lvl) is None:
                 continue
-            quad = self._quad_table(table, lvl)
+            quad = self._quad_table(params, lvl)
             out[lvl] = quad.astype(fd) if fd is not None else quad
         return out
 
@@ -1767,6 +1800,7 @@ class GridEncoding(Encoding):
             "gather_strategy": self.gather_strategy,
             "scatter_strategy": self.scatter_strategy,
             "quad_pack": self.quad_pack,
+            "quad_build": self.quad_build,
             "table_dtype": self.table_dtype,
         }
         if self.raster_max_scale is not None:
@@ -1852,6 +1886,9 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
             f"invalid scatter_strategy {enc.scatter_strategy!r}"
         )
     enc.quad_pack = json_value(encoding, "quad_pack", "auto")
+    enc.quad_build = json_value(encoding, "quad_build", "auto")
+    if enc.quad_build not in ("auto", "view", "flat"):
+        raise ValueError(f"invalid quad_build {enc.quad_build!r}")
     enc.table_dtype = json_value(encoding, "table_dtype", "float32")
     if enc.table_dtype not in ("float32", "float16", "bfloat16"):
         raise ValueError(f"invalid table_dtype {enc.table_dtype!r}")

@@ -237,3 +237,38 @@ def test_fixed_point_pos_matches_float_path():
 
     with pytest.raises(TypeError):
         enc_u.apply(params, jnp.asarray(xf))
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_quad_build_flat_matches_view(d):
+    # The flat quad-table build (per-level 1D rolls of the flat param
+    # slice — no global (N, F) narrow view; _quad_table docstring) is an
+    # exact relayout of the view build: forward AND parameter gradients
+    # bit-identical on both the quad and stratified paths.
+    cfg = {"otype": "HashGrid", "n_levels": 6, "n_features_per_level": 2,
+           "log2_hashmap_size": 10, "base_resolution": 4,
+           "per_level_scale": 1.7, "hash": "CoherentAdditive",
+           "gather_strategy": "quad"}
+    enc_v = tc.create_encoding(d, {**cfg, "quad_build": "view"}, 4)
+    enc_f = tc.create_encoding(d, {**cfg, "quad_build": "flat"}, 4)
+    enc_v.output_dtype = jnp.float32
+    enc_f.output_dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(
+        rng.normal(0, 0.1, (enc_v.n_params,)).astype(np.float32)
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (128, d)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(enc_v.apply(params, x)), np.asarray(enc_f.apply(params, x))
+    )
+
+    def g(enc):
+        return np.asarray(jax.grad(
+            lambda p: jnp.sum(jnp.sin(enc.apply(p, x) * 3.0))
+        )(params))
+
+    # Same contributions, but the 1D/2D roll adjoints associate the
+    # corner sums differently -> f32 summation order, ~1 ulp.
+    gv, gf = g(enc_v), g(enc_f)
+    scale = np.abs(gv).max() + 1e-30
+    assert np.abs(gv - gf).max() / scale < 1e-6
