@@ -47,6 +47,20 @@ def main():
         "targets. Metric: trained samples/s either way.",
     )
     parser.add_argument(
+        "--steps-per-call",
+        type=int,
+        default=10,
+        help="Training steps folded into one dispatch via lax.scan. "
+        "Sequential train steps cannot pipeline (each waits on the "
+        "previous state), so per-dispatch launch/tunnel latency adds "
+        "directly to every step — the 2D flagship's device-busy time is "
+        "~10 ms/step while a 1-step-per-dispatch wall clock reads ~24 ms "
+        "(probe_2d_profile2). Scanning N steps per call amortizes that "
+        "fixed cost N-fold; the reference amortizes its launch overhead "
+        "the same way via CUDA-graph replay (trainer.h:344-350). "
+        "1 restores one-dispatch-per-step.",
+    )
+    parser.add_argument(
         "--serving",
         action="store_true",
         help="Measure SERVING throughput instead of training: "
@@ -300,7 +314,6 @@ def main():
         # which measures the same step graph).
         from tcnn_tpu.utils.sampling import stratified_uniform as _su
 
-        @jax.jit
         def bench_step_3d(state, key):
             if args.sampler in ("stratified", "phase_locked"):
                 x = _su(
@@ -324,16 +337,31 @@ def main():
             )
             return trainer._step_impl(state, x, t, None)
 
+        spc = max(1, args.steps_per_call)
+        if args.steps % spc:
+            args.steps = max(spc, args.steps - args.steps % spc)
+        n_warm_blocks = max(1, -(-args.warmup // spc))
+
+        @jax.jit
+        def bench_block_3d(state, ks):
+            def body(st, k):
+                return bench_step_3d(st, k)
+
+            return jax.lax.scan(body, state, ks)
+
         state = trainer.state
         keys = jax.random.split(
-            jax.random.PRNGKey(0), args.warmup + args.steps
-        )
-        for i in range(args.warmup):
-            state, loss = bench_step_3d(state, keys[i])
+            jax.random.PRNGKey(0),
+            (n_warm_blocks + args.steps // spc) * spc,
+        ).reshape(n_warm_blocks + args.steps // spc, spc, 2)
+        for i in range(n_warm_blocks):
+            state, losses = bench_block_3d(state, keys[i])
+        loss = losses[-1]
         _ = float(loss)
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, loss = bench_step_3d(state, keys[args.warmup + i])
+        for i in range(args.steps // spc):
+            state, losses = bench_block_3d(state, keys[n_warm_blocks + i])
+        loss = losses[-1]
         _ = float(loss)
         elapsed = time.perf_counter() - t0
         samples_per_sec = args.batch * args.steps / elapsed
@@ -373,7 +401,6 @@ def main():
     # compile-cache key.
     from tcnn_tpu.utils.sampling import stratified_uniform
 
-    @jax.jit
     def bench_step(state, key, img):
         if args.sampler in ("stratified", "phase_locked"):
             # One jittered sample per raster tile (see utils/sampling.py):
@@ -423,16 +450,32 @@ def main():
             )
         return trainer._step_impl(state, xy, target, None)
 
-    state = trainer.state
-    keys = jax.random.split(jax.random.PRNGKey(0), args.warmup + args.steps)
+    spc = max(1, args.steps_per_call)
+    if args.steps % spc:
+        args.steps = max(spc, args.steps - args.steps % spc)
+    n_warm_blocks = max(1, -(-args.warmup // spc))
 
-    for i in range(args.warmup):
-        state, loss = bench_step(state, keys[i], image_dev)
+    @jax.jit
+    def bench_block(state, ks, img):
+        def body(st, k):
+            return bench_step(st, k, img)
+
+        return jax.lax.scan(body, state, ks)
+
+    state = trainer.state
+    keys = jax.random.split(
+        jax.random.PRNGKey(0), (n_warm_blocks + args.steps // spc) * spc
+    ).reshape(n_warm_blocks + args.steps // spc, spc, 2)
+
+    for i in range(n_warm_blocks):
+        state, losses = bench_block(state, keys[i], image_dev)
+    loss = losses[-1]
     _ = float(loss)  # full sync; block_until_ready is lazy over the tunnel
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, loss = bench_step(state, keys[args.warmup + i], image_dev)
+    for i in range(args.steps // spc):
+        state, losses = bench_block(state, keys[n_warm_blocks + i], image_dev)
+    loss = losses[-1]
     _ = float(loss)
     elapsed = time.perf_counter() - t0
 
