@@ -190,6 +190,45 @@ class Trainer:
             )
         return loss_value
 
+    def training_steps(self, batch_fn, n_steps: int) -> jnp.ndarray:
+        """Run ``n_steps`` training iterations in ONE device dispatch.
+
+        Sequential train steps cannot pipeline (each waits on the
+        previous state), so per-dispatch launch latency adds directly to
+        every step — at flagship scale the locked 2D step's device-busy
+        time is ~10 ms while single-step-dispatch wall clock reads
+        ~24 ms (PLAN.md round 3). Folding steps into one ``lax.scan``
+        amortizes that fixed cost; this is the TPU-native analogue of
+        the reference's CUDA-graph capture/replay of the train step
+        (reference: trainer.h:344-350, cuda_graph.h:65-155).
+
+        Args:
+          batch_fn: ``step_index (traced int32) -> (inputs, targets)`` —
+            traced once; must be a pure jax function (on-device batch
+            generation / dataset slicing).
+          n_steps: static number of steps to fold into the dispatch.
+
+        Returns the (n_steps,) per-step loss vector (lazy device value).
+        """
+        key = ("_scan", n_steps, id(batch_fn))
+        cache = getattr(self, "_jit_scan_cache", None)
+        if cache is None:
+            cache = self._jit_scan_cache = {}
+        if key not in cache:
+
+            def block(state):
+                def body(st, i):
+                    inputs, targets = batch_fn(i)
+                    return self._step_impl(st, inputs, targets, None)
+
+                return jax.lax.scan(
+                    body, state, jnp.arange(n_steps, dtype=jnp.int32)
+                )
+
+            cache[key] = jax.jit(block, donate_argnums=(0,))
+        self.state, losses = cache[key](self.state)
+        return losses
+
     def forward(self, inputs):
         """Training-params forward, padded output (compute dtype)."""
         return self.model.apply(self.state["params"], inputs)
@@ -214,6 +253,8 @@ class Trainer:
         self._jit_train_step_pdf = jax.jit(
             self._train_step_with_pdf, donate_argnums=(0,)
         )
+        if hasattr(self, "_jit_scan_cache"):
+            del self._jit_scan_cache
 
     def _inference_kwargs(self) -> Dict[str, Any]:
         """Serving batches are arbitrary layouts: force the grid encoding's
@@ -324,6 +365,8 @@ class Trainer:
             del self._jit_inference_cache
         if hasattr(self, "_jit_raster_cache"):
             del self._jit_raster_cache
+        if hasattr(self, "_jit_scan_cache"):
+            del self._jit_scan_cache
 
     # -- serialization (reference: trainer.h:442-482) -------------------------
     def serialize(self, serialize_optimizer: bool = False) -> Dict:

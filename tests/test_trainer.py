@@ -146,3 +146,39 @@ def test_loss_value_matches_manual_reduction():
     expected = float(values.sum())
     loss = float(model.training_step(xy, target))
     assert abs(loss - expected) / max(abs(expected), 1e-9) < 1e-5
+
+
+def test_training_steps_scan_matches_sequential():
+    # Trainer.training_steps folds N steps into one lax.scan dispatch
+    # (the reference's CUDA-graph-replay analogue, trainer.h:344-350);
+    # it must produce the same states/losses as N sequential
+    # training_step calls when fed the same per-step batches.
+    import jax
+
+    r = np.random.default_rng(0)
+    n, batch = 6, 512
+    xs = jnp.asarray(r.uniform(0, 1, (n, batch, 2)).astype(np.float32))
+    ts = jnp.stack([jnp.asarray(_target_fn(np.asarray(x))) for x in xs])
+
+    m_seq = tc.create_from_config(2, 3, CONFIG_HASH, seed=7)
+    seq_losses = [
+        float(m_seq.training_step(xs[i], ts[i])) for i in range(n)
+    ]
+
+    m_scan = tc.create_from_config(2, 3, CONFIG_HASH, seed=7)
+    losses = m_scan.trainer.training_steps(
+        lambda i: (
+            jnp.take(xs, i, axis=0),
+            jnp.take(ts, i, axis=0),
+        ),
+        n,
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(seq_losses), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_scan.trainer.params),
+        np.asarray(m_seq.trainer.params),
+        rtol=2e-5,
+        atol=2e-6,
+    )
