@@ -242,7 +242,8 @@ class GridEncoding(Encoding):
         self.quad_pack = "auto"
         # Quad-table build form: "view" (global (N, F) view slice) or
         # "flat" (per-level 1D rolls; no narrow global view). "auto" =
-        # flat for d >= 3 — see _quad_table.
+        # view — flat measured a big composed NEGATIVE in both dims;
+        # see _quad_table.
         self.quad_build = "auto"
         # Table-gradient reduction: "auto" picks the hierarchically
         # factored one-hot MXU scatter (ops/scatter_rows.py) for large
@@ -571,12 +572,17 @@ class GridEncoding(Encoding):
           ~24 ms/step (reshape.39 9.8 + pad_add 5.1 + reshape.401 4.5 +
           copy 4.4 — probe_3d_profile2/probe_3d_hlo_names).
         - "flat": per-corner 1D rolls of the level's flat slice, reshaped
-          (size, F) locally — no global narrow view anywhere. In 2D at
-          flagship scale the view build measured 1 ms BETTER composed
-          (round-2 session 3 #2: XLA amortizes the 2D rolls into its
-          concat fusion and the global view costs only ~0.3 ms there).
+          (size, F) locally — no global narrow view anywhere. Composed
+          NEGATIVE in BOTH dims (another instance of the layout
+          non-monotonicity rule: the padded bytes visible in the HLO are
+          not additive with the fusions XLA otherwise builds): 2D
+          flagship 27.49 vs 26.48 ms (round-2 session 3 #2), 3D
+          NeRF-scale locked single 151.9 vs 87.7 ms (!) — the per-level
+          1D->2D reshapes break the roll/concat fusions (probe_3d_final
+          round 3, flat A/B).
 
-        "auto" = flat for d >= 3, view for 2D.
+        "auto" = view (the measured winner at every scale; "flat" kept
+        as a knob so the A/B stays one flag away on future XLA bumps).
         """
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
@@ -585,7 +591,7 @@ class GridEncoding(Encoding):
             strides = self._level_strides(lvl)
         build = getattr(self, "quad_build", "auto")
         if build == "auto":
-            build = "flat" if self.n_dims_to_encode >= 3 else "view"
+            build = "view"
         deltas = []
         for cbits in self._corners:
             delta = 0
