@@ -49,16 +49,15 @@ def main():
     parser.add_argument(
         "--steps-per-call",
         type=int,
-        default=10,
-        help="Training steps folded into one dispatch via lax.scan. "
-        "Sequential train steps cannot pipeline (each waits on the "
-        "previous state), so per-dispatch launch/tunnel latency adds "
-        "directly to every step — the 2D flagship's device-busy time is "
-        "~10 ms/step while a 1-step-per-dispatch wall clock reads ~24 ms "
-        "(probe_2d_profile2). Scanning N steps per call amortizes that "
-        "fixed cost N-fold; the reference amortizes its launch overhead "
-        "the same way via CUDA-graph replay (trainer.h:344-350). "
-        "1 restores one-dispatch-per-step.",
+        default=1,
+        help="Training steps folded into one dispatch via lax.scan "
+        "(>1). MEASURED NEGATIVE on the 2D flagship: ~29 ms/step at "
+        "every steps-per-call in {1, 10, 25} vs 23.75 plain — the scan "
+        "lowering taxes every iteration ~5 ms and there was no "
+        "per-dispatch latency to amortize (the 'device-busy ~10 ms' "
+        "figure that motivated it was a lane-double-counting profiler "
+        "artifact; see probe_dispatch_gap.py and PLAN.md). Default 1 = "
+        "plain one-dispatch-per-step (no scan wrapper).",
     )
     parser.add_argument(
         "--serving",
