@@ -2,22 +2,33 @@
 """Headline benchmark: Instant-NGP-style image fit training throughput.
 
 Protocol mirrors the reference's flagship number (README.md:151-153 /
-samples/mlp_learning_an_image.cu): HashGrid (16 levels x 2 features, 2^19
-table) + FullyFusedMLP 64x2, RelativeL2, Adam, batch 2^18; metric is trained
+samples/mlp_learning_an_image.cu): HashGrid (16 levels x 2 features) +
+FullyFusedMLP 64x2, RelativeL2, Adam, batch 2^18; metric is trained
 samples/second. Baseline: ~2.62e8 samples/s (1000 steps of batch 2^18 in "a
 bit over 1 second" on an RTX 4090).
 
 Each timed step includes on-device batch generation and target sampling from
 a synthetic 512x512 texture, matching the reference sample's loop structure.
 
+Timing methodology (round 4): the steps are split into --timing-blocks
+blocks, each synced with a scalar fetch; the reported number is the MEDIAN
+block (tunnel sessions show multi-ms per-block dispersion — one pass cannot
+distinguish a regression from a bad session). The default 2D run ALSO
+measures `--sampler stratified` back-to-back in the same session and records
+it under "secondary" in the same JSON line, so the locked-vs-stratified A/B
+is re-established every capture.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N,
+   "ms_per_step": median, "ms_blocks": [...], "sampler": ...,
+   "secondary": {...}}
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -26,11 +37,28 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 2.62e8  # RTX 4090, reference README.md:151-153
 
 
-def main():
+def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=2**18)
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument(
+        "--timing-blocks",
+        type=int,
+        default=5,
+        help="Split the timed steps into this many synced blocks and "
+        "report the MEDIAN block's ms/step (plus all blocks in the JSON) "
+        "— single-pass timings over the tunneled TPU cannot distinguish "
+        "a real regression from a bad session.",
+    )
+    parser.add_argument(
+        "--no-ab",
+        action="store_true",
+        help="Skip the secondary back-to-back measurement of the other "
+        "sampler (default: a 2d training run also measures stratified "
+        "vs the locked default in the same session and records it under "
+        "'secondary').",
+    )
     parser.add_argument("--width", type=int, default=64)
     parser.add_argument("--hidden", type=int, default=2)
     parser.add_argument("--log2-hashmap", type=int, default=None)
@@ -133,8 +161,9 @@ def main():
         default=None,
         help="Max per-dim window size of the stratified static path "
         "(levels needing more fall back to quad rows). Default: the "
-        "config-layer default (3 in 2D; 1 in 3D = static coarse path "
-        "off, which measured +50 ms/step there).",
+        "config-layer default (3 in 2D; 2 in 3D — 2-wide windows on "
+        "<=55^3 grids win there, while variants=3's 27 window shifts "
+        "measured +50 ms/step; probe_3d_variants).",
     )
     parser.add_argument(
         "--gather-strategy",
@@ -155,60 +184,48 @@ def main():
         "('float16'/'bfloat16'; default f32).",
     )
     parser.add_argument(
+        "--quad-build",
+        default=None,
+        choices=["view", "flat", "slice"],
+        help="Quad-table build form (see encodings/grid.py _quad_table; "
+        "'slice' = per-level 1D slice + one reshape — no global padded "
+        "(N,F) view).",
+    )
+    parser.add_argument(
+        "--grid-state",
+        default=None,
+        choices=["flat", "compact"],
+        help="Training-state layout of the grid parameters (default: "
+        "the config-layer default). 'compact' carries each level's "
+        "table as its own (rows*F,) state leaf so the train step never "
+        "builds the global padded (N,2) view (PLAN.md round 4); the "
+        "flat checkpoint layout is preserved at the API boundary.",
+    )
+    parser.add_argument(
         "--layout",
         default=None,
         choices=["rm", "cf"],
         help="FFMLP in-kernel activation layout override (see "
         "ops/ffmlp.DEFAULT_LAYOUT).",
     )
-    args = parser.parse_args()
-    # Flagship fast mode (PLAN.md round 3): phase-locked G=1 + EMA(0.99) —
-    # 23.7 ms/step at 51.6 dB on the 1000-step golden (above the 47+ dB
-    # band). Serving keeps the stratified config the committed serving
-    # artifact was measured with (the sampler never runs at serving time;
-    # only the encoding-config cache key depends on it).
-    if args.sampler is None:
-        args.sampler = "stratified" if args.serving else "phase_locked"
-    if args.ema is None:
-        args.ema = 0.99 if args.sampler == "phase_locked" else 0.0
-    if args.log2_hashmap is None:
-        args.log2_hashmap = 15 if args.protocol == "2d" else 19
-    n_dims = 2 if args.protocol == "2d" else 3
+    return parser
 
-    import jax
 
-    # Persistent compile cache: the flagship step takes many minutes to
-    # compile on the remote-compile service; repeat runs hit the disk cache.
-    from pathlib import Path as _P
-
-    cache_dir = _P(__file__).resolve().parent / ".jax_cache"
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-
-    import tcnn_tpu as tc
-
-    # Exact protocol parity with the reference's flagship benchmark config
-    # (reference: data/config_hash.json — 2^15 table, scale 1.5, Adam
-    # beta2=0.99/eps=1e-15/l2_reg=1e-6).
-    config = {
+def build_config(args, sampler, ema):
+    """Flagship config for one sampler mode (exact protocol parity with the
+    reference's data/config_hash.json: Adam beta2=0.99/eps=1e-15/l2=1e-6)."""
+    adam = {
+        "otype": "Adam",
+        "learning_rate": 1e-2,
+        "beta1": 0.9,
+        "beta2": 0.99,
+        "epsilon": 1e-15,
+        "l2_reg": 1e-6,
+    }
+    return {
         "loss": {"otype": "RelativeL2"},
         "optimizer": (
-            lambda adam: (
-                {"otype": "EMA", "decay": args.ema, "nested": adam}
-                if args.ema
-                else adam
-            )
-        )(
-            {
-                "otype": "Adam",
-                "learning_rate": 1e-2,
-                "beta1": 0.9,
-                "beta2": 0.99,
-                "epsilon": 1e-15,
-                "l2_reg": 1e-6,
-            }
+            {"otype": "EMA", "decay": ema, "nested": adam} if ema else adam
         ),
         "encoding": {
             "otype": "HashGrid",
@@ -224,7 +241,7 @@ def main():
             "gather_strategy": args.gather_strategy
             or (
                 "stratified"
-                if args.sampler in ("stratified", "phase_locked")
+                if sampler in ("stratified", "phase_locked")
                 else "quad"
             ),
             **(
@@ -247,7 +264,7 @@ def main():
                         else {}
                     ),
                 }
-                if args.sampler == "phase_locked"
+                if sampler == "phase_locked"
                 else {}
             ),
             **(
@@ -257,6 +274,12 @@ def main():
             ),
             **(
                 {"table_dtype": args.table_dtype} if args.table_dtype else {}
+            ),
+            **(
+                {"quad_build": args.quad_build} if args.quad_build else {}
+            ),
+            **(
+                {"grid_state": args.grid_state} if args.grid_state else {}
             ),
         },
         "network": {
@@ -269,62 +292,57 @@ def main():
         },
     }
 
-    model = tc.create_from_config(n_dims, 3, config)
+
+def timed_blocks(run_block, state, keys_blocks, n_steps_per_block):
+    """Run the warm state through len(keys_blocks) timing blocks, each
+    synced with a scalar fetch; returns (state, [ms_per_step per block])."""
+    ms = []
+    for ks in keys_blocks:
+        t0 = time.perf_counter()
+        state, loss = run_block(state, ks)
+        _ = float(loss)  # full sync; block_until_ready is lazy over tunnel
+        ms.append((time.perf_counter() - t0) / n_steps_per_block * 1e3)
+    return state, ms
+
+
+def measure_training(args, sampler, ema, image_np=None):
+    """One full training-throughput measurement for one sampler config.
+    Returns a dict with the median-block throughput + per-block ms."""
+    import jax
+    import jax.numpy as jnp
+
+    import tcnn_tpu as tc
+    from tcnn_tpu.utils.sampling import stratified_uniform
+
+    n_dims = 2 if args.protocol == "2d" else 3
+    model = tc.create_from_config(n_dims, 3, build_config(args, sampler, ema))
     trainer = model.trainer
 
-    if args.serving:
-        if n_dims != 2:
-            parser.error("--serving is defined for the 2d protocol only")
-        # Serving protocol: FrozenServer (prebuilt quad tables,
-        # device-resident) rendering the 1024^2 tile-center raster,
-        # pipelined — the production novel-view/serving shape. The
-        # reference's serving headline is the fully-fused inference
-        # protocol (benchmarks/mlp/bench_mlp_ours.cu:64-137), ~1e9-class.
-        server = trainer.freeze_serving()
-        side = 1024
-        n = side * side
-        y = server.raster((side, side))
-        _ = float(y.ravel()[0])  # warm + sync
-        reps = 16
-        t0 = time.perf_counter()
-        outs = [server.raster((side, side)) for _ in range(reps)]
-        _ = float(outs[-1].ravel()[0])
-        ms = (time.perf_counter() - t0) / reps * 1e3
-        samples_per_sec = n / ms * 1e3
-        result = {
-            "metric": "flagship_serving_throughput_raster1024_frozen",
-            "value": round(samples_per_sec, 1),
-            "unit": "samples/s",
-            "vs_baseline": round(samples_per_sec / 1e9, 4),
-        }
-        print(json.dumps(result))
-        print(
-            f"# serving {ms:.3f} ms per 1024^2 raster, "
-            f"backend={jax.default_backend()}",
-            file=sys.stderr,
-        )
-        return
+    res = 512
+    image_dev = (
+        jnp.asarray(image_np) if image_np is not None else None
+    )
+
+    def make_batch(key):
+        if sampler in ("stratified", "phase_locked"):
+            x = stratified_uniform(
+                key, args.batch, n_dims,
+                phase_locked=(
+                    args.locked_phases
+                    if sampler == "phase_locked"
+                    else False
+                ),
+            )
+        else:
+            x = jax.random.uniform(key, (args.batch, n_dims), jnp.float32)
+        return x
 
     if args.protocol == "3d":
         # NeRF-scale protocol: synthetic smooth density/color field
         # evaluated analytically per sample (3 fused trig ops on the
-        # (B, 3) batch — negligible next to the encoding; the probe
-        # harnesses in benchmarks/ use a fixed random target instead,
-        # which measures the same step graph).
-        from tcnn_tpu.utils.sampling import stratified_uniform as _su
-
-        def bench_step_3d(state, key):
-            if args.sampler in ("stratified", "phase_locked"):
-                x = _su(
-                    key, args.batch, 3,
-                    phase_locked=(
-                        args.locked_phases
-                        if args.sampler == "phase_locked"
-                        else False
-                    ),
-                )
-            else:
-                x = jax.random.uniform(key, (args.batch, 3), jnp.float32)
+        # (B, 3) batch — negligible next to the encoding).
+        def bench_step(state, key, img):
+            x = make_batch(key)
             t = jnp.stack(
                 [
                     0.5 + 0.5 * jnp.sin(6 * jnp.pi * x[:, 0])
@@ -336,162 +354,237 @@ def main():
             )
             return trainer._step_impl(state, x, t, None)
 
-        spc = max(1, args.steps_per_call)
-        if args.steps % spc:
-            args.steps = max(spc, args.steps - args.steps % spc)
-        n_warm_blocks = max(1, -(-args.warmup // spc))
+    else:
 
-        @jax.jit
-        def bench_block_3d(state, ks):
-            def body(st, k):
-                return bench_step_3d(st, k)
-
-            return jax.lax.scan(body, state, ks)
-
-        state = trainer.state
-        keys = jax.random.split(
-            jax.random.PRNGKey(0),
-            (n_warm_blocks + args.steps // spc) * spc,
-        ).reshape(n_warm_blocks + args.steps // spc, spc, 2)
-        for i in range(n_warm_blocks):
-            state, losses = bench_block_3d(state, keys[i])
-        loss = losses[-1]
-        _ = float(loss)
-        t0 = time.perf_counter()
-        for i in range(args.steps // spc):
-            state, losses = bench_block_3d(state, keys[n_warm_blocks + i])
-        loss = losses[-1]
-        _ = float(loss)
-        elapsed = time.perf_counter() - t0
-        samples_per_sec = args.batch * args.steps / elapsed
-        print(json.dumps({
-            "metric":
-            "nerf3d_training_throughput_hashgrid16x2_ffmlp64x2_b2^18",
-            "value": round(samples_per_sec, 1),
-            "unit": "samples/s",
-            "vs_baseline": round(
-                samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4
-            ),
-        }))
-        print(
-            f"# {elapsed/args.steps*1e3:.3f} ms/step, final loss "
-            f"{float(loss):.3e}, backend={jax.default_backend()}",
-            file=sys.stderr,
-        )
-        return
-
-    # Synthetic "image": smooth multi-frequency texture, sampled nearest.
-    res = 512
-    yy, xx = np.meshgrid(np.linspace(0, 1, res), np.linspace(0, 1, res),
-                         indexing="ij")
-    image = np.stack(
-        [
-            0.5 + 0.5 * np.sin(8 * np.pi * xx) * np.cos(6 * np.pi * yy),
-            0.5 + 0.5 * np.cos(4 * np.pi * (xx + yy)),
-            0.5 + 0.5 * np.sin(2 * np.pi * xx * yy * 4),
-        ],
-        axis=-1,
-    ).astype(np.float32)
-    image_dev = jnp.asarray(image)
-
-    # NOTE: the image is an explicit argument — closure-captured device
-    # arrays are inlined as constants at lowering time, which forces a
-    # device->host fetch (randomly stalls over the tunnel) and bloats the
-    # compile-cache key.
-    from tcnn_tpu.utils.sampling import stratified_uniform
-
-    def bench_step(state, key, img):
-        if args.sampler in ("stratified", "phase_locked"):
-            # One jittered sample per raster tile (see utils/sampling.py):
-            # same per-sample uniform marginals, even coverage, and the
-            # layout contract for the coarse-level static grid path.
-            # phase_locked shares the jitter vector batch-wide (the
-            # static-fine-level contract).
-            xy = stratified_uniform(
-                key, args.batch, 2,
-                phase_locked=(
-                    args.locked_phases
-                    if args.sampler == "phase_locked"
-                    else False
-                ),
-            )
-        else:
-            xy = jax.random.uniform(key, (args.batch, 2), jnp.float32)
-        if args.sort_batch:
-            # Morton-order the batch (a batch is a set — the loss and the
-            # resulting update are permutation-invariant) so the grid
-            # lookups of nearby samples hit nearby table rows.
-            q = (xy * 1024).astype(jnp.uint32)
-            key_bits = jnp.zeros(xy.shape[0], jnp.uint32)
-            for b in range(10):
-                key_bits = (
-                    key_bits
-                    | (((q[:, 0] >> b) & 1) << (2 * b))
-                    | (((q[:, 1] >> b) & 1) << (2 * b + 1))
+        def bench_step(state, key, img):
+            xy = make_batch(key)
+            if args.sort_batch:
+                # Morton-order the batch (a batch is a set — the loss and
+                # the update are permutation-invariant) so grid lookups of
+                # nearby samples hit nearby table rows.
+                q = (xy * 1024).astype(jnp.uint32)
+                key_bits = jnp.zeros(xy.shape[0], jnp.uint32)
+                for b in range(10):
+                    key_bits = (
+                        key_bits
+                        | (((q[:, 0] >> b) & 1) << (2 * b))
+                        | (((q[:, 1] >> b) & 1) << (2 * b + 1))
+                    )
+                xy = xy[jnp.argsort(key_bits)]
+            if (
+                sampler in ("stratified", "phase_locked")
+                and args.batch == res * res
+            ):
+                # Stratified tiles coincide with pixels (strata == res): the
+                # nearest-pixel target of sample j is EXACTLY pixel j.
+                target = img.reshape(res * res, 3)
+            else:
+                ij = jnp.clip((xy * res).astype(jnp.int32), 0, res - 1)
+                # Flat promise_in_bounds lookup: default-mode 2D indexing
+                # takes XLA's bounds-checked gather (~1000x slower on TPU).
+                flat = ij[:, 1] * res + ij[:, 0]
+                target = img.reshape(res * res, 3).at[flat].get(
+                    mode="promise_in_bounds"
                 )
-            xy = xy[jnp.argsort(key_bits)]
-        if (
-            args.sampler in ("stratified", "phase_locked")
-            and args.batch == res * res
-        ):
-            # Stratified tiles coincide with pixels (strata == res), so the
-            # nearest-pixel lookup of sample j is EXACTLY pixel j: the
-            # target gather is the identity (algebraically identical to
-            # the indexed lookup below, minus a B-row random gather).
-            target = img.reshape(res * res, 3)
-        else:
-            ij = jnp.clip((xy * res).astype(jnp.int32), 0, res - 1)
-            # Flat promise_in_bounds lookup: default-mode 2D indexing takes
-            # XLA's bounds-checked gather path (~1000x slower on TPU).
-            flat = ij[:, 1] * res + ij[:, 0]
-            target = img.reshape(res * res, 3).at[flat].get(
-                mode="promise_in_bounds"
-            )
-        return trainer._step_impl(state, xy, target, None)
+            return trainer._step_impl(state, xy, target, None)
 
     spc = max(1, args.steps_per_call)
-    if args.steps % spc:
-        args.steps = max(spc, args.steps - args.steps % spc)
+    k = max(1, args.timing_blocks)
+    # Round the step count so it divides evenly into k blocks of whole
+    # scan dispatches.
+    steps_per_block = max(spc, (args.steps // k) // spc * spc)
+    n_steps = steps_per_block * k
     n_warm_blocks = max(1, -(-args.warmup // spc))
 
     @jax.jit
     def bench_block(state, ks, img):
-        def body(st, k):
-            return bench_step(st, k, img)
+        def body(st, kk):
+            return bench_step(st, kk, img)
 
         return jax.lax.scan(body, state, ks)
 
+    def run_block(state, ks, _img=image_dev):
+        # One timing block = steps_per_block/spc dispatches.
+        loss = None
+        for j in range(ks.shape[0]):
+            state, losses = bench_block(state, ks[j], _img)
+            loss = losses[-1]
+        return state, loss
+
     state = trainer.state
-    keys = jax.random.split(
-        jax.random.PRNGKey(0), (n_warm_blocks + args.steps // spc) * spc
-    ).reshape(n_warm_blocks + args.steps // spc, spc, 2)
+    total = n_warm_blocks * spc + n_steps
+    keys = jax.random.split(jax.random.PRNGKey(0), total)
+    warm_keys = keys[: n_warm_blocks * spc].reshape(n_warm_blocks, 1, spc, 2)
+    timed_keys = keys[n_warm_blocks * spc:].reshape(
+        k, steps_per_block // spc, spc, 2
+    )
 
     for i in range(n_warm_blocks):
-        state, losses = bench_block(state, keys[i], image_dev)
-    loss = losses[-1]
-    _ = float(loss)  # full sync; block_until_ready is lazy over the tunnel
-
-    t0 = time.perf_counter()
-    for i in range(args.steps // spc):
-        state, losses = bench_block(state, keys[n_warm_blocks + i], image_dev)
-    loss = losses[-1]
+        state, loss = run_block(state, warm_keys[i])
     _ = float(loss)
-    elapsed = time.perf_counter() - t0
 
-    final_loss = float(loss)
-    samples_per_sec = args.batch * args.steps / elapsed
-    result = {
-        "metric": "image_fit_training_throughput_hashgrid16x2_ffmlp64x2_b2^18",
-        "value": round(samples_per_sec, 1),
-        "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+    state, ms_blocks = timed_blocks(run_block, state, timed_keys,
+                                    steps_per_block)
+    median_ms = statistics.median(ms_blocks)
+    return {
+        "sampler": sampler,
+        "ema": ema,
+        "ms_per_step": round(median_ms, 3),
+        "ms_blocks": [round(m, 3) for m in ms_blocks],
+        "samples_per_sec": round(args.batch / median_ms * 1e3, 1),
+        "final_loss": float(loss),
     }
+
+
+def main():
+    args = build_parser().parse_args()
+    # Flagship fast mode (PLAN.md round 3): phase-locked G=1 + EMA(0.99) —
+    # 51.6 dB on the 1000-step golden (above the 47+ dB band). Serving
+    # keeps the stratified config the committed serving artifact was
+    # measured with (the sampler never runs at serving time; only the
+    # encoding-config cache key depends on it).
+    explicit_sampler = args.sampler is not None
+    if args.sampler is None:
+        args.sampler = "stratified" if args.serving else "phase_locked"
+    if args.ema is None:
+        args.ema = 0.99 if args.sampler == "phase_locked" else 0.0
+    if args.log2_hashmap is None:
+        args.log2_hashmap = 15 if args.protocol == "2d" else 19
+
+    import os
+
+    import jax
+
+    if os.environ.get("TCNN_BENCH_FORCE_CPU"):
+        # Smoke-testing knob: numbers are meaningless off-TPU. (env
+        # JAX_PLATFORMS alone does not work here — sitecustomize pins the
+        # axon platform via jax.config; see CLAUDE.md.)
+        jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compile cache: the flagship step takes many minutes to
+    # compile on the remote-compile service; repeat runs hit the disk cache.
+    from pathlib import Path as _P
+
+    cache_dir = _P(__file__).resolve().parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.serving:
+        import jax.numpy as jnp
+
+        import tcnn_tpu as tc
+
+        if args.protocol != "2d":
+            raise SystemExit("--serving is defined for the 2d protocol only")
+        # Serving protocol: FrozenServer (prebuilt quad tables,
+        # device-resident) rendering the 1024^2 tile-center raster,
+        # pipelined — the production novel-view/serving shape. The
+        # reference's serving headline is the fully-fused inference
+        # protocol (benchmarks/mlp/bench_mlp_ours.cu:64-137), ~1e9-class.
+        model = tc.create_from_config(
+            2, 3, build_config(args, args.sampler, args.ema)
+        )
+        server = model.trainer.freeze_serving()
+        side = 1024
+        n = side * side
+        y = server.raster((side, side))
+        _ = float(y.ravel()[0])  # warm + sync
+        reps = 16
+        k = max(1, args.timing_blocks)
+        ms_blocks = []
+        for _b in range(k):
+            t0 = time.perf_counter()
+            outs = [server.raster((side, side)) for _ in range(reps)]
+            _ = float(outs[-1].ravel()[0])
+            ms_blocks.append((time.perf_counter() - t0) / reps * 1e3)
+        ms = statistics.median(ms_blocks)
+        samples_per_sec = n / ms * 1e3
+        result = {
+            "metric": "flagship_serving_throughput_raster1024_frozen",
+            "value": round(samples_per_sec, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_sec / 1e9, 4),
+            "ms_per_raster": round(ms, 3),
+            "ms_blocks": [round(m, 3) for m in ms_blocks],
+        }
+        print(json.dumps(result))
+        print(
+            f"# serving {ms:.3f} ms per 1024^2 raster, "
+            f"backend={jax.default_backend()}",
+            file=sys.stderr,
+        )
+        return
+
+    image_np = None
+    if args.protocol == "2d":
+        # Synthetic "image": smooth multi-frequency texture, sampled
+        # nearest. Passed as an explicit jit argument — closure-captured
+        # device arrays are inlined as constants at lowering time, which
+        # forces a device->host fetch (randomly stalls over the tunnel)
+        # and bloats the compile-cache key.
+        res = 512
+        yy, xx = np.meshgrid(
+            np.linspace(0, 1, res), np.linspace(0, 1, res), indexing="ij"
+        )
+        image_np = np.stack(
+            [
+                0.5 + 0.5 * np.sin(8 * np.pi * xx) * np.cos(6 * np.pi * yy),
+                0.5 + 0.5 * np.cos(4 * np.pi * (xx + yy)),
+                0.5 + 0.5 * np.sin(2 * np.pi * xx * yy * 4),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+    primary = measure_training(args, args.sampler, args.ema, image_np)
+
+    secondary = None
+    if args.protocol == "2d" and not args.no_ab and not explicit_sampler:
+        # Back-to-back A/B in the SAME session: the locked default vs the
+        # reference-exact-geometry stratified sampler (VERDICT r3 next-2 —
+        # one captured number per mode, same tunnel conditions).
+        secondary = measure_training(args, "stratified", 0.0, image_np)
+
+    metric = (
+        "image_fit_training_throughput_hashgrid16x2_ffmlp64x2_b2^18"
+        if args.protocol == "2d"
+        else "nerf3d_training_throughput_hashgrid16x2_ffmlp64x2_b2^18"
+    )
+    result = {
+        "metric": metric,
+        "value": primary["samples_per_sec"],
+        "unit": "samples/s",
+        "vs_baseline": round(
+            primary["samples_per_sec"] / BASELINE_SAMPLES_PER_SEC, 4
+        ),
+        "sampler": primary["sampler"],
+        "ms_per_step": primary["ms_per_step"],
+        "ms_blocks": primary["ms_blocks"],
+    }
+    if secondary is not None:
+        result["secondary"] = {
+            "sampler": secondary["sampler"],
+            "ms_per_step": secondary["ms_per_step"],
+            "ms_blocks": secondary["ms_blocks"],
+            "samples_per_sec": secondary["samples_per_sec"],
+            "vs_baseline": round(
+                secondary["samples_per_sec"] / BASELINE_SAMPLES_PER_SEC, 4
+            ),
+        }
     print(json.dumps(result))
     print(
-        f"# {elapsed/args.steps*1e3:.3f} ms/step, final loss {final_loss:.3e}, "
+        f"# {primary['ms_per_step']:.3f} ms/step (median of "
+        f"{len(primary['ms_blocks'])} blocks: {primary['ms_blocks']}), "
+        f"final loss {primary['final_loss']:.3e}, "
         f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
+    if secondary is not None:
+        print(
+            f"# secondary [stratified]: {secondary['ms_per_step']:.3f} "
+            f"ms/step (blocks: {secondary['ms_blocks']}), final loss "
+            f"{secondary['final_loss']:.3e}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -240,8 +240,10 @@ class GridEncoding(Encoding):
         # "packed" forces the symmetric packed gather+select. All three
         # are exact relayouts of the same linear map.
         self.quad_pack = "auto"
-        # Quad-table build form: "view" (global (N, F) view slice) or
-        # "flat" (per-level 1D rolls; no narrow global view). "auto" =
+        # Quad-table build form: "view" (global (N, F) view slice),
+        # "flat" (per-level 1D rolls; no narrow global view), or "slice"
+        # (1D level slice + ONE reshape, then 2D rolls — keeps view's
+        # roll/concat fusions without the global padded view). "auto" =
         # view — flat measured a big composed NEGATIVE in both dims;
         # see _quad_table.
         self.quad_build = "auto"
@@ -604,6 +606,21 @@ class GridEncoding(Encoding):
                 (jnp.roll(fl, -d * F) if d else fl).reshape(size, F)
                 for d in deltas
             ]
+        elif build == "slice":
+            # Round-4 form: slice the FLAT vector (1D, compact layout),
+            # reshape ONCE per level, then the same 2D roll/concat build
+            # as "view". Identical elements; the difference is that no
+            # global params.reshape(-1, F) view exists for XLA to
+            # materialize 64x-lane-padded at the step boundary (the
+            # ~24 ms/step of reshape.39/copy.1795/pad_add/reshape.401
+            # traffic in the 3D locked profile, PLAN.md 3c), and each
+            # level's adjoint accumulates through its own 1D slice.
+            # Unlike "flat" (measured negative), the rolls stay 2D so the
+            # roll->concat fusions XLA builds around "view" are preserved.
+            sl = params[F * off : F * (off + size)].reshape(size, F)
+            cols = [
+                jnp.roll(sl, -d, axis=0) if d else sl for d in deltas
+            ]
         else:
             sl = params.reshape(-1, F)[off : off + size]
             cols = [
@@ -805,6 +822,16 @@ class GridEncoding(Encoding):
                 off_f = F * off
                 size_f = F * size
                 flat = jax.lax.dynamic_slice(p, (off_f,), (size_f,))
+                if fd is not None:
+                    # Honor table_dtype: round storage to the half dtype
+                    # FIRST so the CSR forward sees the same rounding
+                    # regime as the unpacked/packed gathers (the bf16
+                    # compensation pair below then reproduces that
+                    # rounded value to ~3e-6). Barrier: TPU XLA elides
+                    # bare half round-trips (precision postmortem).
+                    flat = jax.lax.optimization_barrier(
+                        flat.astype(fd)
+                    ).astype(jnp.float32)
                 flat2 = jnp.concatenate([flat, flat])
                 W = 128
                 outs = []
@@ -1893,7 +1920,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         )
     enc.quad_pack = json_value(encoding, "quad_pack", "auto")
     enc.quad_build = json_value(encoding, "quad_build", "auto")
-    if enc.quad_build not in ("auto", "view", "flat"):
+    if enc.quad_build not in ("auto", "view", "flat", "slice"):
         raise ValueError(f"invalid quad_build {enc.quad_build!r}")
     enc.table_dtype = json_value(encoding, "table_dtype", "float32")
     if enc.table_dtype not in ("float32", "float16", "bfloat16"):

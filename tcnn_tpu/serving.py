@@ -59,12 +59,19 @@ class FrozenServer:
         self._raster_jits: Dict = {}
 
     # -- entry points -----------------------------------------------------------
+    # A server is meant for a small fixed set of serving shapes; bound the
+    # per-shape program caches so a caller streaming many distinct shapes
+    # (or alternating dtypes) can't grow them without limit.
+    _CACHE_MAX = 32
+
     def __call__(self, x) -> jnp.ndarray:
         """Serve an arbitrary (B, d) batch; returns (B, n_output_dims)
-        float32. Jitted and cached per input shape."""
-        key = tuple(x.shape)
+        float32. Jitted and cached per input shape+dtype."""
+        key = (tuple(x.shape), jnp.asarray(x).dtype.name)
         fn = self._batch_jits.get(key)
         if fn is None:
+            if len(self._batch_jits) >= self._CACHE_MAX:
+                self._batch_jits.pop(next(iter(self._batch_jits)))
             enc = getattr(self.model, "encoding", None)
             # Arbitrary serving batches use the per-sample fallback (the
             # stratified static path would NaN-poison non-raster layouts).
@@ -98,6 +105,8 @@ class FrozenServer:
         )
         fn = self._raster_jits.get(side)
         if fn is None:
+            if len(self._raster_jits) >= self._CACHE_MAX:
+                self._raster_jits.pop(next(iter(self._raster_jits)))
             if hasattr(self.model, "apply_raster"):
 
                 def _infer(params, tables):

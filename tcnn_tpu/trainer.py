@@ -190,7 +190,12 @@ class Trainer:
             )
         return loss_value
 
-    def training_steps(self, batch_fn, n_steps: int) -> jnp.ndarray:
+    # training_steps compiles one program per (batch_fn, n_steps); bound the
+    # cache so fresh per-call lambdas can't grow it (each entry would pin its
+    # closure — and any closed-over arrays — alive forever).
+    _SCAN_CACHE_MAX = 8
+
+    def training_steps(self, batch_fn, n_steps: int, data=None) -> jnp.ndarray:
         """Run ``n_steps`` training iterations in ONE device dispatch.
 
         Sequential train steps cannot pipeline (each waits on the
@@ -203,22 +208,32 @@ class Trainer:
         (reference: trainer.h:344-350, cuda_graph.h:65-155).
 
         Args:
-          batch_fn: ``step_index (traced int32) -> (inputs, targets)`` —
-            traced once; must be a pure jax function (on-device batch
-            generation / dataset slicing).
+          batch_fn: pure jax function producing ``(inputs, targets)`` for
+            one step. Called ``batch_fn(data, i)`` when ``data`` is given,
+            else ``batch_fn(i)`` (``i`` is the traced int32 step index).
           n_steps: static number of steps to fold into the dispatch.
+          data: optional pytree (dataset / aux arrays) threaded to
+            ``batch_fn`` as an explicit jit argument. Pass device arrays
+            HERE, not via closure: a closed-over device array is fetched
+            to host at lowering time (multi-minute stalls over the axon
+            tunnel) and baked into the compiled program as a constant.
 
         Returns the (n_steps,) per-step loss vector (lazy device value).
         """
-        key = ("_scan", n_steps, id(batch_fn))
+        key = ("_scan", n_steps, id(batch_fn), data is None)
         cache = getattr(self, "_jit_scan_cache", None)
         if cache is None:
             cache = self._jit_scan_cache = {}
         if key not in cache:
+            if len(cache) >= self._SCAN_CACHE_MAX:
+                cache.pop(next(iter(cache)))
 
-            def block(state):
+            def block(state, d):
                 def body(st, i):
-                    inputs, targets = batch_fn(i)
+                    if d is None:
+                        inputs, targets = batch_fn(i)
+                    else:
+                        inputs, targets = batch_fn(d, i)
                     return self._step_impl(st, inputs, targets, None)
 
                 return jax.lax.scan(
@@ -226,7 +241,7 @@ class Trainer:
                 )
 
             cache[key] = jax.jit(block, donate_argnums=(0,))
-        self.state, losses = cache[key](self.state)
+        self.state, losses = cache[key](self.state, data)
         return losses
 
     def forward(self, inputs):

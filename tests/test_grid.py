@@ -240,17 +240,20 @@ def test_fixed_point_pos_matches_float_path():
 
 
 @pytest.mark.parametrize("d", [2, 3])
-def test_quad_build_flat_matches_view(d):
-    # The flat quad-table build (per-level 1D rolls of the flat param
-    # slice — no global (N, F) narrow view; _quad_table docstring) is an
-    # exact relayout of the view build: forward AND parameter gradients
-    # bit-identical on both the quad and stratified paths.
+@pytest.mark.parametrize("build", ["flat", "slice"])
+def test_quad_build_flat_matches_view(d, build):
+    # The flat/slice quad-table builds (per-level 1D rolls / per-level 1D
+    # slice + one reshape — no global (N, F) narrow view; _quad_table
+    # docstring) are exact relayouts of the view build: forward AND
+    # parameter gradients bit-identical on both the quad and stratified
+    # paths (slice: same 2D rolls as view, so even the gradient
+    # association order matches).
     cfg = {"otype": "HashGrid", "n_levels": 6, "n_features_per_level": 2,
            "log2_hashmap_size": 10, "base_resolution": 4,
            "per_level_scale": 1.7, "hash": "CoherentAdditive",
            "gather_strategy": "quad"}
     enc_v = tc.create_encoding(d, {**cfg, "quad_build": "view"}, 4)
-    enc_f = tc.create_encoding(d, {**cfg, "quad_build": "flat"}, 4)
+    enc_f = tc.create_encoding(d, {**cfg, "quad_build": build}, 4)
     enc_v.output_dtype = jnp.float32
     enc_f.output_dtype = jnp.float32
     rng = np.random.default_rng(0)
