@@ -255,3 +255,104 @@ def test_data_parallel_phase_locked():
         rtol=2e-2,
         atol=2e-4,
     )
+
+
+FLAGSHIP_LIKE = {
+    # The bench default composed at test scale (VERDICT r3 next-8): the
+    # flagship's stratified + phase-locked(G=1) + EMA(0.99) fast paths and
+    # the FullyFusedMLP, with tables shrunk (2^12 vs 2^15) and strata 64
+    # so the 8-device CPU mesh runs it in seconds. Locked levels 6-15 use
+    # the static-CSR scatter; levels 0-5 the gather-free static path.
+    "loss": {"otype": "RelativeL2"},
+    "optimizer": {"otype": "EMA", "decay": 0.99,
+                  "nested": {"otype": "Adam", "learning_rate": 1e-2,
+                             "beta2": 0.99, "epsilon": 1e-15,
+                             "l2_reg": 1e-6}},
+    "encoding": {
+        "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+        "log2_hashmap_size": 12, "base_resolution": 16,
+        "per_level_scale": 1.5, "hash": "CoherentAdditive",
+        "gather_strategy": "stratified", "strata": 64,
+        "phase_locked": True, "locked_phases": 1,
+    },
+    "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                "n_hidden_layers": 2},
+}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_data_parallel_flagship_single_gradient_psum():
+    """The DP step composed with the flagship fast paths (stratified
+    static coarse levels + phase-locked static-CSR fine levels + EMA +
+    FFMLP) must reduce ALL parameter gradients in ONE fused all-reduce
+    (VERDICT r3 next-8): XLA's all-reduce combiner merges the per-leaf
+    psums, so adding levels/leaves must not add collectives. One extra
+    tiny s32 all-reduce is allowed in the FORWARD: the locked path's
+    per-phase offsets E_g derive from batch rows 0..G-1, which live on
+    device 0 under batch sharding, so the partitioner broadcasts those
+    few scalars."""
+    import re
+
+    model = tc.create_from_config(2, 3, FLAGSHIP_LIKE, seed=5)
+    enc = model.model.encoding
+    assert len(enc._locked_levels(64)) >= 8, "config must lock fine levels"
+    dp = DataParallelTrainer(model.trainer, make_mesh(jax.devices()))
+
+    from tcnn_tpu.utils.sampling import stratified_uniform
+
+    x = stratified_uniform(jax.random.PRNGKey(0), 4096, 2, phase_locked=1)
+    t = jnp.full((4096, 3), 0.5, jnp.float32)
+    txt = dp._jit_step.lower(dp.trainer.state, x, t).compile().as_text()
+
+    ar_defs = re.findall(r"%(all-reduce[^\s=]*) = (\([^)]*\)|\S+)", txt)
+
+    def n_elems(type_str):
+        total = 0
+        for dims in re.findall(r"\w+\[([\d,]*)\]", type_str):
+            total += int(np.prod([int(d) for d in dims.split(",") if d] or [1]))
+        return total
+
+    big = [(name, n_elems(t)) for name, t in ar_defs if n_elems(t) > 64]
+    assert len(big) == 1, (
+        f"expected ONE fused gradient all-reduce (>64 elements), got "
+        f"{big}; all collectives: {[(n, n_elems(t)) for n, t in ar_defs]}"
+    )
+    # The gradient all-reduce must carry the whole gradient pytree: at
+    # least the model's param count (grid tables reduce in their compact
+    # per-level quad/CSR shapes, which OVERCOUNT flat params ~2^d x).
+    assert big[0][1] >= model.trainer.n_params
+    # Everything else is the forward's tiny phase-offset broadcast.
+    assert len(ar_defs) <= 4, f"unexpected collectives: {ar_defs}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_data_parallel_flagship_lockstep():
+    """DP lockstep vs single-device at the flagship-like shape (VERDICT
+    r3 next-8): identical phase-locked batches, identical losses and
+    post-step params up to reduction-order noise."""
+    from tcnn_tpu.utils.sampling import stratified_uniform
+
+    single = tc.create_from_config(2, 3, FLAGSHIP_LIKE, seed=5)
+    dp_model = tc.create_from_config(2, 3, FLAGSHIP_LIKE, seed=5)
+    dp = DataParallelTrainer(dp_model.trainer, make_mesh(jax.devices()))
+
+    for i in range(3):
+        xy = stratified_uniform(jax.random.PRNGKey(i), 4096, 2,
+                                phase_locked=1)
+        t = jnp.asarray(_target(np.asarray(xy)))
+        l1 = float(single.training_step(xy, t))
+        l2 = float(dp.training_step(xy, t))
+        assert np.isfinite(l2)
+        assert abs(l1 - l2) / max(abs(l1), 1e-9) < 5e-2
+    np.testing.assert_allclose(
+        np.asarray(single.trainer.params),
+        np.asarray(dp.trainer.state["params"]),
+        rtol=2e-2, atol=2e-4,
+    )
+    # The EMA (inference) weights must lockstep too — serving off a DP
+    # trainer uses them.
+    np.testing.assert_allclose(
+        np.asarray(single.trainer.inference_params()),
+        np.asarray(dp.trainer.inference_params()),
+        rtol=2e-2, atol=2e-4,
+    )
