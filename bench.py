@@ -396,20 +396,39 @@ def measure_training(args, sampler, ema, image_np=None):
     n_steps = steps_per_block * k
     n_warm_blocks = max(1, -(-args.warmup // spc))
 
-    @jax.jit
-    def bench_block(state, ks, img):
-        def body(st, kk):
-            return bench_step(st, kk, img)
+    if spc == 1:
+        # Plain one-dispatch-per-step. Do NOT wrap single steps in a
+        # length-1 lax.scan: the scan lowering taxes the composed step
+        # (~5 ms/step at 2D flagship scale, tens of ms at 3D state sizes
+        # — it was what --steps-per-call measured negative, and a
+        # scan-wrapped "spc=1" silently re-measures that tax; caught when
+        # the round-4 capture read 30.2 ms vs the 23.75 plain claim).
+        # Plain jit, no donation — byte-identical program to the round-3
+        # claim runs (donation is composed-neutral, probe_3d_donate).
+        step_jit = jax.jit(bench_step)
 
-        return jax.lax.scan(body, state, ks)
+        def run_block(state, ks, _img=image_dev):
+            loss = None
+            for j in range(ks.shape[0]):
+                state, loss = step_jit(state, ks[j, 0], _img)
+            return state, loss
 
-    def run_block(state, ks, _img=image_dev):
-        # One timing block = steps_per_block/spc dispatches.
-        loss = None
-        for j in range(ks.shape[0]):
-            state, losses = bench_block(state, ks[j], _img)
-            loss = losses[-1]
-        return state, loss
+    else:
+
+        @jax.jit
+        def bench_block(state, ks, img):
+            def body(st, kk):
+                return bench_step(st, kk, img)
+
+            return jax.lax.scan(body, state, ks)
+
+        def run_block(state, ks, _img=image_dev):
+            # One timing block = steps_per_block/spc dispatches.
+            loss = None
+            for j in range(ks.shape[0]):
+                state, losses = bench_block(state, ks[j], _img)
+                loss = losses[-1]
+            return state, loss
 
     state = trainer.state
     total = n_warm_blocks * spc + n_steps
