@@ -192,16 +192,6 @@ def build_parser():
         "(N,F) view).",
     )
     parser.add_argument(
-        "--grid-state",
-        default=None,
-        choices=["flat", "compact"],
-        help="Training-state layout of the grid parameters (default: "
-        "the config-layer default). 'compact' carries each level's "
-        "table as its own (rows*F,) state leaf so the train step never "
-        "builds the global padded (N,2) view (PLAN.md round 4); the "
-        "flat checkpoint layout is preserved at the API boundary.",
-    )
-    parser.add_argument(
         "--layout",
         default=None,
         choices=["rm", "cf"],
@@ -277,9 +267,6 @@ def build_config(args, sampler, ema):
             ),
             **(
                 {"quad_build": args.quad_build} if args.quad_build else {}
-            ),
-            **(
-                {"grid_state": args.grid_state} if args.grid_state else {}
             ),
         },
         "network": {
