@@ -5,6 +5,9 @@
 cd "$(dirname "$0")/.."
 L=benchmarks/logs
 set -x
+# 0: on-device Mosaic smoke gate under the new slice default.
+timeout 3600 python benchmarks/tpu_smoke.py > $L/_r4_smoke.txt 2>&1
+echo "smoke exit=$?" >> $L/_r4_smoke.txt
 # A: flagship 2D default — quad_build auto is now "slice"; captures the
 #    locked headline + back-to-back stratified secondary (VERDICT next-2).
 timeout 3600 python bench.py > $L/_r4q2_bench_2d.json 2> $L/_r4q2_bench_2d.err

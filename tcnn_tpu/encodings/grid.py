@@ -244,8 +244,8 @@ class GridEncoding(Encoding):
         # "flat" (per-level 1D rolls; no narrow global view), or "slice"
         # (1D level slice + ONE reshape, then 2D rolls — keeps view's
         # roll/concat fusions without the global padded view). "auto" =
-        # view — flat measured a big composed NEGATIVE in both dims;
-        # see _quad_table.
+        # slice since round 4 (bench captures in _quad_table's docstring);
+        # flat measured a big composed NEGATIVE in both dims.
         self.quad_build = "auto"
         # Table-gradient reduction: "auto" picks the hierarchically
         # factored one-hot MXU scatter (ops/scatter_rows.py) for large
@@ -583,8 +583,15 @@ class GridEncoding(Encoding):
           1D->2D reshapes break the roll/concat fusions (probe_3d_final
           round 3, flat A/B).
 
-        "auto" = view (the measured winner at every scale; "flat" kept
-        as a knob so the A/B stays one flag away on future XLA bumps).
+        - "slice": 1D level slice + ONE reshape, then the same 2D rolls
+          as "view". Keeps view's roll/concat fusions WITHOUT the global
+          padded view — the round-4 winner: 2D locked 30.1 -> 25.4
+          ms/step, 3D locked single 169.3 -> 130.5 (bench captures,
+          benchmarks/logs/_r4_bench_*); neutral on the stratified-only
+          path (27.83 vs 27.84).
+
+        "auto" = slice since round 4 ("view"/"flat" kept as knobs so the
+        A/B stays one flag away on future XLA bumps).
         """
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
@@ -593,7 +600,7 @@ class GridEncoding(Encoding):
             strides = self._level_strides(lvl)
         build = getattr(self, "quad_build", "auto")
         if build == "auto":
-            build = "view"
+            build = "slice"
         deltas = []
         for cbits in self._corners:
             delta = 0
@@ -617,7 +624,11 @@ class GridEncoding(Encoding):
             # level's adjoint accumulates through its own 1D slice.
             # Unlike "flat" (measured negative), the rolls stay 2D so the
             # roll->concat fusions XLA builds around "view" are preserved.
-            sl = params[F * off : F * (off + size)].reshape(size, F)
+            # reshape(-1) first: callers pass either the flat vector or an
+            # already-(N, F) table (row-major — same flat layout either way;
+            # a no-op reshape when 1D).
+            fl = params.reshape(-1)
+            sl = fl[F * off : F * (off + size)].reshape(size, F)
             cols = [
                 jnp.roll(sl, -d, axis=0) if d else sl for d in deltas
             ]
