@@ -198,14 +198,18 @@ class Trainer:
     def training_steps(self, batch_fn, n_steps: int, data=None) -> jnp.ndarray:
         """Run ``n_steps`` training iterations in ONE device dispatch.
 
-        Sequential train steps cannot pipeline (each waits on the
-        previous state), so per-dispatch launch latency adds directly to
-        every step — at flagship scale the locked 2D step's device-busy
-        time is ~10 ms while single-step-dispatch wall clock reads
-        ~24 ms (PLAN.md round 3). Folding steps into one ``lax.scan``
-        amortizes that fixed cost; this is the TPU-native analogue of
-        the reference's CUDA-graph capture/replay of the train step
-        (reference: trainer.h:344-350, cuda_graph.h:65-155).
+        This is the TPU-native analogue of the reference's CUDA-graph
+        capture/replay of the train step (reference: trainer.h:344-350,
+        cuda_graph.h:65-155): one dispatch per N steps instead of N.
+
+        MEASURED CAVEAT (round 4): at flagship scale the scan LOWERING
+        itself taxes the composed per-step device time (~5 ms/step at
+        the 2D flagship, tens of ms at 3D state sizes — the scanned body
+        loses fusions the straight-line step keeps), which outweighs the
+        per-dispatch latency it saves over the axon tunnel. Use this for
+        many tiny steps (dispatch-bound regimes), not to speed up
+        flagship-scale steps; bench.py defaults to plain per-step
+        dispatch (--steps-per-call 1).
 
         Args:
           batch_fn: pure jax function producing ``(inputs, targets)`` for
