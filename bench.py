@@ -198,6 +198,14 @@ def build_parser():
         help="FFMLP in-kernel activation layout override (see "
         "ops/ffmlp.DEFAULT_LAYOUT).",
     )
+    parser.add_argument(
+        "--level-split",
+        default=None,
+        choices=["auto", "off"],
+        help="Per-level parameter split with a one-concat gradient "
+        "assembly (encodings/grid.py _split_levels; round 4). Default "
+        "'auto' (on); 'off' restores per-level flat-vector adjoints.",
+    )
     return parser
 
 
@@ -267,6 +275,9 @@ def build_config(args, sampler, ema):
             ),
             **(
                 {"quad_build": args.quad_build} if args.quad_build else {}
+            ),
+            **(
+                {"level_split": args.level_split} if args.level_split else {}
             ),
         },
         "network": {
@@ -339,6 +350,15 @@ def measure_training(args, sampler, ema, image_np=None):
                 ],
                 axis=-1,
             )
+            # Materialize (x, t) ONCE before the step. Without this
+            # barrier XLA fuses/recomputes the cheap generator expression
+            # into its many consumers across the 16 grid levels, with
+            # layout conversions at each site — a measured ~53 ms/step
+            # composed tax at this shape (probe_r4_gap: 77.0 ms with x/t
+            # as args vs 130.5 ms in-graph). The barrier restores the
+            # as-args program while keeping generation on-device in the
+            # timed region (same protocol semantics).
+            x, t = jax.lax.optimization_barrier((x, t))
             return trainer._step_impl(state, x, t, None)
 
     else:

@@ -247,6 +247,13 @@ class GridEncoding(Encoding):
         # slice since round 4 (bench captures in _quad_table's docstring);
         # flat measured a big composed NEGATIVE in both dims.
         self.quad_build = "auto"
+        # level_split (round 4): split the flat vector into per-level
+        # compact arrays through ONE linear_call whose transpose is a
+        # single concat, so per-level lookup adjoints never assemble
+        # full (n_params,) buffers (see _split_levels). "auto" = on for
+        # the per-level training branch; "off" restores the flat form
+        # (the A/B stays one flag away, like quad_build).
+        self.level_split = "auto"
         # Table-gradient reduction: "auto" picks the hierarchically
         # factored one-hot MXU scatter (ops/scatter_rows.py) for large
         # batches on per-level tables, XLA's scatter emitter otherwise;
@@ -607,6 +614,14 @@ class GridEncoding(Encoding):
             for dim, bit in enumerate(cbits):
                 delta += int(bit) * strides[dim]
             deltas.append(delta % size)
+        if isinstance(params, (tuple, list)):
+            # level_split mode (round 4): ``params`` is the per-level
+            # tuple from ``_split_levels`` — this level's own compact
+            # (size*F,) array. Same 2D roll/concat build as "slice"; the
+            # difference is the ADJOINT: the cotangent stays (size*F,)
+            # and rides the split's one-concat transpose instead of a
+            # zeros((n_params,)) + dynamic_update_slice per level.
+            return self._quad_table_from(params[lvl], lvl, deltas)
         if build == "flat":
             fl = params[F * off : F * (off + size)]
             cols = [
@@ -639,6 +654,72 @@ class GridEncoding(Encoding):
             ]
         return jnp.concatenate(cols, axis=1)
 
+    def _quad_table_from(self, level_arr, lvl: int, deltas=None):
+        """(size, 2^d*F) quad table built from the level's OWN compact
+        parameter array ((size*F,) or (size, F)) — the level_split form
+        of ``_quad_table`` (same rolls; compact adjoint)."""
+        size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+        F = self.n_features_per_level
+        if deltas is None:
+            strides = self._level_strides(lvl)
+            deltas = []
+            for cbits in self._corners:
+                delta = 0
+                for dim, bit in enumerate(cbits):
+                    delta += int(bit) * strides[dim]
+                deltas.append(delta % size)
+        sl = level_arr.reshape(size, F)
+        cols = [jnp.roll(sl, -d, axis=0) if d else sl for d in deltas]
+        return jnp.concatenate(cols, axis=1)
+
+    def _split_levels(self, params):
+        """Split the flat parameter vector into the per-level tuple of
+        compact (size*F,) arrays via ONE ``linear_call`` whose transpose
+        is a single concatenation (``level_split`` mode, round 4).
+
+        Why: each per-level lookup's adjoint otherwise ends in
+        ``zeros((n_params,)) + dynamic_update_slice`` — at 3D NeRF scale
+        that is 10+ full 42 MB gradient buffers built and summed per step
+        (the pad_add/reshape layout tax in PLAN.md 3c's profile). The
+        levels partition the vector contiguously (offset table is
+        cumulative), so the exact transpose of the split IS
+        ``concatenate`` — gradients are bit-identical, only the assembly
+        changes. Returns None (caller keeps the flat form) when the
+        levels do not exactly tile the vector.
+
+        NOTE a split output must be CONSUMED by the traced computation
+        for higher-order autodiff (an unused output's symbolic-Zero
+        cotangent crashes linear_call's jvp-of-transpose path); apply()
+        only splits on the per-level branch, where every level's lookup
+        reads its array.
+        """
+        from jax.custom_derivatives import linear_call
+
+        F = self.n_features_per_level
+        L = self.n_levels
+        starts = [F * int(self.offset_table[lvl]) for lvl in range(L)]
+        sizes_f = [
+            F * int(self.offset_table[lvl + 1] - self.offset_table[lvl])
+            for lvl in range(L)
+        ]
+        fl = params.reshape(-1)
+        if starts[0] != 0 or sum(sizes_f) != fl.shape[0]:
+            return None  # non-contiguous layout: keep the flat form
+
+        def p_fn(_, p):
+            return tuple(
+                jax.lax.slice(p, (starts[lvl],), (starts[lvl] + sizes_f[lvl],))
+                for lvl in range(L)
+            )
+
+        def t_fn(_, cts):
+            return jnp.concatenate([c.reshape(-1) for c in cts])
+
+        try:
+            return linear_call(p_fn, t_fn, (), fl)
+        except NotImplementedError:  # vmap: no linear_call batching rule
+            return p_fn((), fl)
+
     def _pack_k(self) -> int:
         """Cells per packed row: 128 / (2^d * F), or 0 when not packable."""
         slot = (2 ** self.n_dims_to_encode) * self.n_features_per_level
@@ -658,10 +739,20 @@ class GridEncoding(Encoding):
         ``idx // K`` and selects cell ``idx % K`` per corner block.
         """
         F = self.n_features_per_level
-        K = self._pack_k()
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
-        flat = params[F * off : F * (off + size)]
+        if isinstance(params, (tuple, list)):  # level_split mode
+            flat = params[lvl].reshape(-1)
+        else:
+            flat = params[F * off : F * (off + size)]
+        return self._quad_table_packed_from(flat, lvl)
+
+    def _quad_table_packed_from(self, flat, lvl: int):
+        """Packed quad table from the level's OWN flat (size*F,) array
+        (the level_split form of ``_quad_table_packed``)."""
+        F = self.n_features_per_level
+        K = self._pack_k()
+        size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         strides = self._level_strides(lvl)
         rolls = []
         for cbits in self._corners:
@@ -709,11 +800,21 @@ class GridEncoding(Encoding):
             for dim, bit in enumerate(cbits):
                 delta += int(bit) * strides[dim]
             deltas.append(delta % size)
-        n_params = params.shape[0]
+        # level_split mode: the linear arg is the level's OWN compact
+        # array and the transpose returns its (size*F,) cotangent
+        # directly — no zeros((n_params,)) + dynamic_update_slice (the
+        # per-level flat-grad assembly the split exists to remove).
+        level_mode = isinstance(params, (tuple, list))
+        lin_arg = params[lvl] if level_mode else params
+        n_params = None if level_mode else params.shape[0]
         batch = idx.shape[0]
 
         def p_fn(i, p):
-            quad = self._quad_table(p, lvl)
+            quad = (
+                self._quad_table_from(p, lvl, deltas)
+                if level_mode
+                else self._quad_table(p, lvl)
+            )
             fd = self._forward_dtype()
             if fd is not None:
                 # Storage rounding inside the linear pair: half-width
@@ -759,13 +860,15 @@ class GridEncoding(Encoding):
                 dflat = dflat + (
                     jnp.roll(blk, delta * F) if delta else blk
                 )
+            if level_mode:
+                return dflat.reshape(lin_arg.shape)
             out = jnp.zeros((n_params,), jnp.float32)
             return jax.lax.dynamic_update_slice(out, dflat, (F * off,))
 
         try:
-            return linear_call(p_fn, t_fn, idx, params)
+            return linear_call(p_fn, t_fn, idx, lin_arg)
         except NotImplementedError:  # vmap: no linear_call batching rule
-            return p_fn(idx, params)
+            return p_fn(idx, lin_arg)
 
     def _quad_lookup_locked(self, params, idx, lvl: int, base_np, d_shift):
         """Quad-cell lookup for a PHASE-LOCKED level: unpacked-gather
@@ -800,7 +903,11 @@ class GridEncoding(Encoding):
             for dim, bit in enumerate(cbits):
                 delta += int(bit) * strides[dim]
             deltas.append(delta % size)
-        n_params = params.shape[0]
+        # level_split mode (see _quad_lookup_hybrid): linear arg = the
+        # level's own compact array; transpose returns (size*F,).
+        level_mode = isinstance(params, (tuple, list))
+        lin_arg = params[lvl] if level_mode else params
+        n_params = None if level_mode else params.shape[0]
         batch = idx.shape[0]
         G = int(self.locked_phases)
         csrs = [
@@ -832,7 +939,11 @@ class GridEncoding(Encoding):
                 # rolled one).
                 off_f = F * off
                 size_f = F * size
-                flat = jax.lax.dynamic_slice(p, (off_f,), (size_f,))
+                flat = (
+                    p.reshape(-1)
+                    if level_mode
+                    else jax.lax.dynamic_slice(p, (off_f,), (size_f,))
+                )
                 if fd is not None:
                     # Honor table_dtype: round storage to the half dtype
                     # FIRST so the CSR forward sees the same rounding
@@ -902,7 +1013,11 @@ class GridEncoding(Encoding):
                 # slot select's one-hot comes from a K x K constant
                 # table (locked indices make slot = static base % K plus
                 # a per-phase scalar — no per-sample compare chain).
-                qp = self._quad_table_packed(p, lvl)
+                qp = (
+                    self._quad_table_packed_from(p.reshape(-1), lvl)
+                    if level_mode
+                    else self._quad_table_packed(p, lvl)
+                )
                 if fd is not None:
                     qp = qp.astype(fd)
                 g = qp.at[i // K].get(mode="promise_in_bounds")
@@ -911,7 +1026,11 @@ class GridEncoding(Encoding):
                     g.reshape(batch, C, K, F) * oh[:, None, :, None]
                 ).sum(2)
                 return rows.reshape(batch, C * F).astype(jnp.float32)
-            quad = self._quad_table(p, lvl)
+            quad = (
+                self._quad_table_from(p, lvl, deltas)
+                if level_mode
+                else self._quad_table(p, lvl)
+            )
             if fd is not None:
                 return quad.astype(fd).at[i].get(
                     mode="promise_in_bounds"
@@ -971,13 +1090,15 @@ class GridEncoding(Encoding):
                 if dsh is not None:
                     acc = jnp.roll(acc, dsh[g].astype(jnp.int32) * F)
                 dflat = dflat + acc
+            if level_mode:
+                return dflat.reshape(lin_arg.shape)
             out = jnp.zeros((n_params,), jnp.float32)
             return jax.lax.dynamic_update_slice(out, dflat, (F * off,))
 
         try:
-            return linear_call(p_fn, t_fn, (idx, d_shift), params)
+            return linear_call(p_fn, t_fn, (idx, d_shift), lin_arg)
         except NotImplementedError:  # vmap: no linear_call batching rule
-            return p_fn((idx, d_shift), params)
+            return p_fn((idx, d_shift), lin_arg)
 
     def _raster_separable_feats(self, table, lvl: int, sides):
         """Raster-serving fast path for one raster-stride level: SEPARABLE
@@ -1575,6 +1696,24 @@ class GridEncoding(Encoding):
             # — the materialized (K, B, C) tensors cost more than the
             # saved op launches; per-level loop fusion wins. The batched
             # ops remain in ops/scatter_rows.py with CPU coverage.)
+            #
+            # level_split (round 4): on this branch every level's lookup
+            # reads its own contiguous parameter slice, so split the flat
+            # vector ONCE into per-level compact arrays whose adjoint is
+            # one concat (see _split_levels) instead of per-level
+            # zeros+dynamic_update_slice assemblies. Serving paths keep
+            # the flat form (frozen params — no adjoint to optimize; and
+            # served/separable levels would leave split outputs unused,
+            # which higher-order autodiff can't tolerate).
+            lp = params
+            if (
+                getattr(self, "level_split", "auto") != "off"
+                and served_tables is None
+                and raster_sides is None
+            ):
+                split = self._split_levels(params)
+                if split is not None:
+                    lp = split
             outs = []
             sep_blocks = []  # (F, B) channel-first blocks (level prefix)
             for lvl in range(L):
@@ -1588,7 +1727,7 @@ class GridEncoding(Encoding):
                 if idx is None:
                     # Stratified static path — no random access (PLAN.md).
                     feats = self._stratified_feats(
-                        params, lvl, strat_strata, strat_bits[lvl]
+                        lp, lvl, strat_strata, strat_bits[lvl]
                     ).reshape(batch, n_corners, F)
                 elif idx.ndim == 1:
                     # Quad-row path: ONE random access per cell (PLAN.md).
@@ -1619,7 +1758,7 @@ class GridEncoding(Encoding):
                         # emitter at all); forward identical to hybrid.
                         base_np, d_shift = locked_info[lvl]
                         feats = self._quad_lookup_locked(
-                            params, idx, lvl, base_np, d_shift
+                            lp, idx, lvl, base_np, d_shift
                         ).reshape(batch, n_corners, F)
                     elif packed and self.quad_pack in ("auto", "hybrid"):
                         # Unpacked-gather forward + packed-scatter
@@ -1628,14 +1767,14 @@ class GridEncoding(Encoding):
                         # BOTH directions (3D NeRF step 133.7 -> 121.5 ms,
                         # 2D 2^19 step 81.2 -> 74.4; probe_hybrid.py).
                         feats = self._quad_lookup_hybrid(
-                            params, idx, lvl, mode
+                            lp, idx, lvl, mode
                         ).reshape(batch, n_corners, F)
                     elif packed:
                         # Lane-packed quad lookup (see _quad_table_packed):
                         # gather the (B, 128) packed row, select cell
                         # idx % K per corner block elementwise. Exact — the
                         # same rows/weights as the unpacked path.
-                        qp = self._quad_table_packed(params, lvl)
+                        qp = self._quad_table_packed(lp, lvl)
                         g = gather_rows(
                             qp, idx // K, mode,
                             forward_dtype=self._forward_dtype(),
@@ -1644,7 +1783,7 @@ class GridEncoding(Encoding):
                         sel = jax.nn.one_hot(idx % K, K, dtype=g.dtype)
                         feats = jnp.sum(g * sel[:, None, :, None], axis=2)
                     else:
-                        quad = self._quad_table(params, lvl)  # (size, C*F)
+                        quad = self._quad_table(lp, lvl)  # (size, C*F)
                         if size <= self.onehot_threshold:
                             # Tiny level: route the lookup through the MXU
                             # as a one-hot matmul — the VJP becomes a dense
@@ -1673,7 +1812,17 @@ class GridEncoding(Encoding):
                     )
                     off = int(self.offset_table[lvl])
                     mode = self._scatter_mode(idx.size, size)
-                    if mode == "xla":
+                    if isinstance(lp, tuple):
+                        # level_split: always rebase onto the level's own
+                        # compact table (gather mode semantics unchanged;
+                        # "xla" is plain indexing on any table).
+                        feats = gather_rows(
+                            lp[lvl].reshape(size, F),
+                            idx - jnp.int32(off),
+                            mode,
+                            forward_dtype=self._forward_dtype(),
+                        )
+                    elif mode == "xla":
                         feats = gather_rows(
                             table, idx, "xla",
                             forward_dtype=self._forward_dtype(),
@@ -1845,6 +1994,7 @@ class GridEncoding(Encoding):
             "scatter_strategy": self.scatter_strategy,
             "quad_pack": self.quad_pack,
             "quad_build": self.quad_build,
+            "level_split": self.level_split,
             "table_dtype": self.table_dtype,
         }
         if self.raster_max_scale is not None:
@@ -1933,6 +2083,9 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     enc.quad_build = json_value(encoding, "quad_build", "auto")
     if enc.quad_build not in ("auto", "view", "flat", "slice"):
         raise ValueError(f"invalid quad_build {enc.quad_build!r}")
+    enc.level_split = json_value(encoding, "level_split", "auto")
+    if enc.level_split not in ("auto", "off"):
+        raise ValueError(f"invalid level_split {enc.level_split!r}")
     enc.table_dtype = json_value(encoding, "table_dtype", "float32")
     if enc.table_dtype not in ("float32", "float16", "bfloat16"):
         raise ValueError(f"invalid table_dtype {enc.table_dtype!r}")
