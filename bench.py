@@ -122,8 +122,10 @@ def build_parser():
         default=None,
         choices=["pair", "single", "sr", "f32"],
         help="Gradient-contribution rounding of the phase-locked CSR "
-        "scatter (default pair; 'single' = one bf16 pass, the "
-        "reference's half grad_t regime — faster, noisier).",
+        "scatter. Protocol defaults: pair in 2D (beats single composed "
+        "at flagship scale, round-3 queue 7), SINGLE in 3D (one bf16 "
+        "pass = the reference's half grad_t regime, grid.h:660-671; "
+        "measured ~7 ms/step faster at NeRF scale, probe_3d_final).",
     )
     parser.add_argument(
         "--locked-fwd",
@@ -476,6 +478,13 @@ def main():
         args.ema = 0.99 if args.sampler == "phase_locked" else 0.0
     if args.log2_hashmap is None:
         args.log2_hashmap = 15 if args.protocol == "2d" else 19
+    if args.locked_rounding is None and args.protocol == "3d":
+        # 3D protocol default: single bf16 gradient pass — the
+        # reference's own half-precision grid-gradient regime
+        # (grid.h:660-671) and ~7 ms/step faster at NeRF scale than the
+        # compensated pair (probe_3d_final round 3; pair stays the 2D
+        # default where it wins composed).
+        args.locked_rounding = "single"
 
     import os
 
