@@ -252,7 +252,14 @@ class GridEncoding(Encoding):
         # single concat, so per-level lookup adjoints never assemble
         # full (n_params,) buffers (see _split_levels). "auto" = on for
         # the per-level training branch; "off" restores the flat form
-        # (the A/B stays one flag away, like quad_build).
+        # (the A/B stays one flag away, like quad_build). "barrier"
+        # additionally wraps each level's slice in optimization_barrier:
+        # without it XLA rewrites every reshape(slice_1d(p)) into
+        # slice_2d(reshape(p)) and CSEs ONE global (n_params/F, F) view
+        # in 64x-lane-padded layout — materialized in TWO layouts,
+        # ~9.7 ms/step at 3D NeRF scale (_r4_3d_profile.txt:
+        # reshape.175 + copy.2829). The barrier pins the slices 1D so
+        # each level's reshape fuses into its own quad build.
         self.level_split = "auto"
         # Table-gradient reduction: "auto" picks the hierarchically
         # factored one-hot MXU scatter (ops/scatter_rows.py) for large
@@ -706,11 +713,16 @@ class GridEncoding(Encoding):
         if starts[0] != 0 or sum(sizes_f) != fl.shape[0]:
             return None  # non-contiguous layout: keep the flat form
 
+        barrier = getattr(self, "level_split", "auto") == "barrier"
+
         def p_fn(_, p):
-            return tuple(
+            sls = tuple(
                 jax.lax.slice(p, (starts[lvl],), (starts[lvl] + sizes_f[lvl],))
                 for lvl in range(L)
             )
+            # "barrier": keep the slices 1D — see the level_split comment
+            # in __init__ (kills the global padded (N, F) view rewrite).
+            return jax.lax.optimization_barrier(sls) if barrier else sls
 
         def t_fn(_, cts):
             return jnp.concatenate([c.reshape(-1) for c in cts])
@@ -2084,7 +2096,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
     if enc.quad_build not in ("auto", "view", "flat", "slice"):
         raise ValueError(f"invalid quad_build {enc.quad_build!r}")
     enc.level_split = json_value(encoding, "level_split", "auto")
-    if enc.level_split not in ("auto", "off"):
+    if enc.level_split not in ("auto", "off", "barrier"):
         raise ValueError(f"invalid level_split {enc.level_split!r}")
     enc.table_dtype = json_value(encoding, "table_dtype", "float32")
     if enc.table_dtype not in ("float32", "float16", "bfloat16"):

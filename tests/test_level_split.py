@@ -40,6 +40,11 @@ CASES = {
     "stratified": {"phase_locked": False},
     "quad_hybrid": {"gather_strategy": "quad", "phase_locked": False},
     "locked_g4": {"locked_phases": 4},
+    # "barrier" pins the per-level slices 1D (diagnostic; measured a big
+    # composed NEGATIVE on v5e — 110.2 vs 78.8 ms at 3D NeRF scale, the
+    # barrier forces 24 per-level lane-padded reshape materializations —
+    # but it must stay bit-exact).
+    "locked_barrier": {"level_split": "barrier"},
 }
 
 
