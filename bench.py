@@ -188,10 +188,11 @@ def build_parser():
     parser.add_argument(
         "--quad-build",
         default=None,
-        choices=["view", "flat", "slice"],
+        choices=["view", "flat", "slice", "cf"],
         help="Quad-table build form (see encodings/grid.py _quad_table; "
         "'slice' = per-level 1D slice + one reshape — no global padded "
-        "(N,F) view).",
+        "(N,F) view; 'cf' = channel-first never-padded build from 1D "
+        "feature-plane rolls).",
     )
     parser.add_argument(
         "--layout",

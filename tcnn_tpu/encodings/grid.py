@@ -241,11 +241,17 @@ class GridEncoding(Encoding):
         # are exact relayouts of the same linear map.
         self.quad_pack = "auto"
         # Quad-table build form: "view" (global (N, F) view slice),
-        # "flat" (per-level 1D rolls; no narrow global view), or "slice"
+        # "flat" (per-level 1D rolls; no narrow global view), "slice"
         # (1D level slice + ONE reshape, then 2D rolls — keeps view's
-        # roll/concat fusions without the global padded view). "auto" =
-        # slice since round 4 (bench captures in _quad_table's docstring);
-        # flat measured a big composed NEGATIVE in both dims.
+        # roll/concat fusions without the global padded view), or "cf"
+        # (channel-first: F strided 1D feature-plane slices + 1D corner
+        # rolls + stack — NO (rows, F)-minor array ever materializes, so
+        # the 64x-lane-padded deinterleave disappears entirely; see
+        # _quad_table_cf_from). "auto" = cf since round-4 session 3
+        # (driver-command composed captures: 3D locked single 81.5 ->
+        # 67.2 ms/step, 2D locked 24.4 -> 22.3); slice was the earlier
+        # round-4 auto; flat measured a big composed NEGATIVE in both
+        # dims.
         self.quad_build = "auto"
         # level_split (round 4): split the flat vector into per-level
         # compact arrays through ONE linear_call whose transpose is a
@@ -599,13 +605,21 @@ class GridEncoding(Encoding):
 
         - "slice": 1D level slice + ONE reshape, then the same 2D rolls
           as "view". Keeps view's roll/concat fusions WITHOUT the global
-          padded view — the round-4 winner: 2D locked 30.1 -> 25.4
+          padded view — the early-round-4 winner: 2D locked 30.1 -> 25.4
           ms/step, 3D locked single 169.3 -> 130.5 (bench captures,
           benchmarks/logs/_r4_bench_*); neutral on the stratified-only
-          path (27.83 vs 27.84).
+          path (27.83 vs 27.84). XLA still CSEs the per-level
+          reshape(slice_1d) pattern into ONE global (N, F) view
+          materialized in two layouts — 9.7 ms/step at 3D NeRF scale
+          (_r4_3d_profile.txt: reshape.175 + copy.2829).
+        - "cf": channel-first build (_quad_table_cf_from) — no
+          (rows, F)-minor array exists at any point, so the padded
+          deinterleave vanishes. Round-4 session-3 winner: 3D locked
+          single 81.5 -> 67.2 ms/step, 2D locked 24.4 -> 22.3
+          (driver-command bench captures, benchmarks/logs/_r4q6_*).
 
-        "auto" = slice since round 4 ("view"/"flat" kept as knobs so the
-        A/B stays one flag away on future XLA bumps).
+        "auto" = cf since round-4 session 3 ("view"/"flat"/"slice" kept
+        as knobs so the A/B stays one flag away on future XLA bumps).
         """
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         off = int(self.offset_table[lvl])
@@ -614,7 +628,7 @@ class GridEncoding(Encoding):
             strides = self._level_strides(lvl)
         build = getattr(self, "quad_build", "auto")
         if build == "auto":
-            build = "slice"
+            build = "cf"
         deltas = []
         for cbits in self._corners:
             delta = 0
@@ -629,6 +643,11 @@ class GridEncoding(Encoding):
             # and rides the split's one-concat transpose instead of a
             # zeros((n_params,)) + dynamic_update_slice per level.
             return self._quad_table_from(params[lvl], lvl, deltas)
+        if build == "cf":
+            fl = params.reshape(-1)
+            return self._quad_table_cf_from(
+                fl[F * off : F * (off + size)], deltas
+            )
         if build == "flat":
             fl = params[F * off : F * (off + size)]
             cols = [
@@ -664,7 +683,8 @@ class GridEncoding(Encoding):
     def _quad_table_from(self, level_arr, lvl: int, deltas=None):
         """(size, 2^d*F) quad table built from the level's OWN compact
         parameter array ((size*F,) or (size, F)) — the level_split form
-        of ``_quad_table`` (same rolls; compact adjoint)."""
+        of ``_quad_table`` (same rolls; compact adjoint). Routes through
+        the channel-first build when ``quad_build`` is "cf"."""
         size = int(self.offset_table[lvl + 1] - self.offset_table[lvl])
         F = self.n_features_per_level
         if deltas is None:
@@ -675,9 +695,36 @@ class GridEncoding(Encoding):
                 for dim, bit in enumerate(cbits):
                     delta += int(bit) * strides[dim]
                 deltas.append(delta % size)
+        if getattr(self, "quad_build", "auto") in ("cf", "auto"):
+            return self._quad_table_cf_from(level_arr.reshape(-1), deltas)
         sl = level_arr.reshape(size, F)
         cols = [jnp.roll(sl, -d, axis=0) if d else sl for d in deltas]
         return jnp.concatenate(cols, axis=1)
+
+    def _quad_table_cf_from(self, flat, deltas):
+        """(size, 2^d*F) quad table from the level's flat (size*F,) array
+        via never-lane-padded ops (``quad_build: "cf"``, round 4): F
+        strided 1D feature-plane slices (the deinterleave), a 1D roll per
+        corner, ``stack`` to (2^d*F, size) — whose minor dim is the
+        128-multiple ``size``, so every intermediate stays layout-compact
+        — then a transpose XLA emits as a pure layout flip ((size, C*F)
+        in {0,1} IS the stack's memory). Identical elements to the
+        "slice" build (bit-parity tested); the point is that no
+        (rows, F)-minor array ever materializes, killing the global
+        double-layout (n_params/F, F) view that cost 9.7 ms/step at 3D
+        NeRF scale (_r4_3d_profile.txt: reshape.175 + copy.2829;
+        probe_r4_cf_build: build-only 10.7 -> 2.1 ms, 12-level composed
+        stand-in 28.7 -> 20.7). Reference semantics unchanged: this is
+        still grid.h:214-320's corner-offset table walk, re-laid-out."""
+        F = self.n_features_per_level
+        n = flat.shape[0]
+        planes = [jax.lax.slice(flat, (f,), (n,), (F,)) for f in range(F)]
+        rows = []
+        for d in deltas:
+            for f in range(F):
+                p = planes[f]
+                rows.append(jnp.roll(p, -d) if d else p)
+        return jnp.stack(rows, axis=0).T
 
     def _split_levels(self, params):
         """Split the flat parameter vector into the per-level tuple of
@@ -2093,7 +2140,7 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         )
     enc.quad_pack = json_value(encoding, "quad_pack", "auto")
     enc.quad_build = json_value(encoding, "quad_build", "auto")
-    if enc.quad_build not in ("auto", "view", "flat", "slice"):
+    if enc.quad_build not in ("auto", "view", "flat", "slice", "cf"):
         raise ValueError(f"invalid quad_build {enc.quad_build!r}")
     enc.level_split = json_value(encoding, "level_split", "auto")
     if enc.level_split not in ("auto", "off", "barrier"):

@@ -240,14 +240,14 @@ def test_fixed_point_pos_matches_float_path():
 
 
 @pytest.mark.parametrize("d", [2, 3])
-@pytest.mark.parametrize("build", ["flat", "slice"])
+@pytest.mark.parametrize("build", ["flat", "slice", "cf"])
 def test_quad_build_flat_matches_view(d, build):
-    # The flat/slice quad-table builds (per-level 1D rolls / per-level 1D
-    # slice + one reshape — no global (N, F) narrow view; _quad_table
-    # docstring) are exact relayouts of the view build: forward AND
-    # parameter gradients bit-identical on both the quad and stratified
-    # paths (slice: same 2D rolls as view, so even the gradient
-    # association order matches).
+    # The flat/slice/cf quad-table builds (per-level 1D rolls / per-level
+    # 1D slice + one reshape / channel-first feature-plane rolls — no
+    # global (N, F) narrow view; _quad_table docstring) are exact
+    # relayouts of the view build: forward AND parameter gradients
+    # bit-identical on both the quad and stratified paths (slice: same 2D
+    # rolls as view, so even the gradient association order matches).
     cfg = {"otype": "HashGrid", "n_levels": 6, "n_features_per_level": 2,
            "log2_hashmap_size": 10, "base_resolution": 4,
            "per_level_scale": 1.7, "hash": "CoherentAdditive",
@@ -275,3 +275,35 @@ def test_quad_build_flat_matches_view(d, build):
     gv, gf = g(enc_v), g(enc_f)
     scale = np.abs(gv).max() + 1e-30
     assert np.abs(gv - gf).max() / scale < 1e-6
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_quad_build_cf_locked_bit_identical(d):
+    # On the phase-locked path the quad build feeds linear_call's p_fn
+    # only (the CSR transpose is independent of the build), so the
+    # channel-first build must be BIT-identical to the slice build —
+    # values and parameter gradients — including under level_split.
+    from tcnn_tpu.utils.sampling import stratified_uniform
+
+    cfg = {
+        "otype": "HashGrid", "n_levels": 8, "n_features_per_level": 2,
+        "log2_hashmap_size": 10, "base_resolution": 4,
+        "per_level_scale": 1.5, "hash": "CoherentAdditive",
+        "gather_strategy": "stratified", "strata": 4,
+        "phase_locked": True, "locked_phases": 1,
+    }
+    x = stratified_uniform(jax.random.PRNGKey(0), 64, d, phase_locked=True)
+    outs = {}
+    for build in ("slice", "cf"):
+        enc = tc.create_encoding(d, {**cfg, "quad_build": build}, 4)
+        enc.output_dtype = jnp.float32
+        rng = np.random.default_rng(0)
+        params = jnp.asarray(
+            rng.normal(0, 0.1, (enc.n_params,)).astype(np.float32)
+        )
+        v, grad = jax.value_and_grad(
+            lambda p, e=enc: jnp.sum(jnp.sin(e.apply(p, x) * 3.0))
+        )(params)
+        outs[build] = (np.asarray(v), np.asarray(grad))
+    np.testing.assert_array_equal(outs["slice"][0], outs["cf"][0])
+    np.testing.assert_array_equal(outs["slice"][1], outs["cf"][1])
