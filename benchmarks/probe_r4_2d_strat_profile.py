@@ -1,18 +1,18 @@
 #!/usr/bin/env python
-"""Per-op attribution of the 3D locked step AFTER the round-4 changes
-(quad_build slice + level_split one-concat gradient assembly).
+"""Per-op attribution of the 2D STRATIFIED (reference-exact geometry)
+flagship step after the cf quad build (round-4 session 3).
 
-Matches bench.py --protocol 3d's program minus batch gen (x/tgt as args,
-EMA on): locked single, variants=2 (the 3D config default), slice build,
-level_split auto. Round-3's profile of the view-build step pinned ~24 ms
-to (N,2)-narrow layout traffic; slice removed ~11 ms and the split
-targets the per-level zeros+DUS adjoints — this probe shows what is left
-and whether the remaining blocks are gather/CSR floors or more layout.
+VERDICT r3 next-5: stratified 2D <=22 ms at 47+ dB, or composed-HLO
+proof every surviving op is at bandwidth. The round-3 attribution left
+~1.3 ms res-922 relayout whiles + ~2 ms copies "not floors"; the cf
+build may have moved them. Profile the composed step (x/tgt as args,
+EMA on — bench.py's --sampler stratified program minus batch gen) and
+dump optimized HLO for source attribution.
 
 Run ON TPU:
-    python -u benchmarks/probe_r4_3d_profile.py \
-        > benchmarks/logs/_r4_3d_profile.txt 2>&1
-Optional argv[1]: level_split value ("auto"/"off") for A/B profiles.
+    python -u benchmarks/probe_r4_2d_strat_profile.py \
+        > benchmarks/logs/_r4_2d_strat_profile.txt 2>&1
+Optional argv[1]: quad_build value for A/B profiles (default auto=cf).
 """
 
 import glob
@@ -38,31 +38,27 @@ import jax.numpy as jnp  # noqa: E402
 import tcnn_tpu as tc  # noqa: E402
 from tcnn_tpu.utils.sampling import stratified_uniform  # noqa: E402
 
-TRACE_DIR = "/tmp/tcnn_trace_r43d"
-SPLIT = sys.argv[1] if len(sys.argv) > 1 else "auto"
+TRACE_DIR = "/tmp/tcnn_trace_r42d"
+BUILD = sys.argv[1] if len(sys.argv) > 1 else "auto"
 
 
 def main():
-    print("backend:", jax.default_backend(), "level_split:", SPLIT,
+    print("backend:", jax.default_backend(), "quad_build:", BUILD,
           flush=True)
     batch = 2**18
-    x = stratified_uniform(jax.random.PRNGKey(0), batch, 3,
-                           phase_locked=True)
+    x = stratified_uniform(jax.random.PRNGKey(0), batch, 2)
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3))
     adam = {"otype": "Adam", "learning_rate": 1e-2, "beta2": 0.99,
             "epsilon": 1e-15, "l2_reg": 1e-6}
-    model = tc.create_from_config(3, 3, {
+    model = tc.create_from_config(2, 3, {
         "loss": {"otype": "RelativeL2"},
         "optimizer": {"otype": "EMA", "decay": 0.99, "nested": adam},
         "encoding": {
             "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
-            "log2_hashmap_size": 19, "base_resolution": 16,
+            "log2_hashmap_size": 15, "base_resolution": 16,
             "per_level_scale": 1.5, "hash": "CoherentAdditive",
             "gather_strategy": "stratified", "strata": 64,
-            "phase_locked": True, "locked_phases": 1,
-            "locked_rounding": "single",
-            "quad_build": sys.argv[2] if len(sys.argv) > 2 else "auto",
-            "level_split": SPLIT,
+            "quad_build": BUILD,
         },
         "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
                     "n_hidden_layers": 2},
@@ -80,7 +76,7 @@ def main():
     for _ in range(10):
         out = c(state, x, tgt)
     _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    print(f"full step: {(time.perf_counter()-t0)/10*1e3:.1f} ms", flush=True)
+    print(f"full step: {(time.perf_counter()-t0)/10*1e3:.2f} ms", flush=True)
 
     jax.profiler.start_trace(TRACE_DIR)
     for _ in range(3):
@@ -121,7 +117,7 @@ def main():
         print(f"{us/3:9.0f} {counts[nm]:5d}  {nm[:110]}")
 
     hlo = c.lower(state, x, tgt).compile().as_text()
-    out_path = Path(__file__).parent / "logs" / f"_r4_3d_hlo_{SPLIT}.txt"
+    out_path = Path(__file__).parent / "logs" / f"_r4_2d_strat_hlo_{BUILD}.txt"
     out_path.write_text(hlo)
     print(f"full HLO -> {out_path} ({len(hlo)} bytes)", flush=True)
 
