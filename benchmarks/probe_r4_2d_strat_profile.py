@@ -46,6 +46,10 @@ def main():
     print("backend:", jax.default_backend(), "quad_build:", BUILD,
           flush=True)
     batch = 2**18
+    # Flagship 2D stratified batches: strata = 512 per dim (tiles ==
+    # pixels at the 512^2 protocol) — stratified_uniform's default at
+    # this (batch, d); the encoding infers the same at trace time, like
+    # bench.py (which sets no "strata" key).
     x = stratified_uniform(jax.random.PRNGKey(0), batch, 2)
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3))
     adam = {"otype": "Adam", "learning_rate": 1e-2, "beta2": 0.99,
@@ -57,7 +61,7 @@ def main():
             "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
             "log2_hashmap_size": 15, "base_resolution": 16,
             "per_level_scale": 1.5, "hash": "CoherentAdditive",
-            "gather_strategy": "stratified", "strata": 64,
+            "gather_strategy": "stratified",
             "quad_build": BUILD,
         },
         "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
