@@ -202,6 +202,14 @@ def build_parser():
         "ops/ffmlp.DEFAULT_LAYOUT).",
     )
     parser.add_argument(
+        "--strat-accum",
+        default=None,
+        choices=["select_n", "where"],
+        help="Static-path variant accumulation (grid.py _stratified_feats):"
+        " 'select_n' (one n_var^d-way select; the auto) vs 'where' (the"
+        " pre-round-4 sequential where-chain).",
+    )
+    parser.add_argument(
         "--level-split",
         default=None,
         choices=["auto", "off"],
@@ -281,6 +289,9 @@ def build_config(args, sampler, ema):
             ),
             **(
                 {"level_split": args.level_split} if args.level_split else {}
+            ),
+            **(
+                {"strat_accum": args.strat_accum} if args.strat_accum else {}
             ),
         },
         "network": {

@@ -218,6 +218,11 @@ class GridEncoding(Encoding):
         # Max per-dim window size (shift variants) the stratified fast path
         # will materialize; levels needing more fall back to the quad path.
         self.stratified_max_variants = 3
+        # Variant accumulation of the static path: "select_n" (one
+        # n_var^d-way lax.select_n — the round-4 auto) or "where" (the
+        # original sequential where-chain; kept for A/B). Exact either
+        # way (same f32 values selected).
+        self.strat_accum = "auto"
         # Optional explicit XLA index mode for the quad gather (e.g.
         # "promise_in_bounds"); None = plain indexing (loop fusion).
         self.index_mode = None
@@ -1297,8 +1302,31 @@ class GridEncoding(Encoding):
             t = partial_contract(tuple(reversed(deltas)))
             return t.reshape(strata**d, C)
 
+        accum = getattr(self, "strat_accum", "auto")
+        if accum == "auto":
+            accum = "select_n"
+        combos = list(itertools.product(range(n_var), repeat=d))
+        if accum == "select_n":
+            # ONE n_var^d-way select instead of a sequential where-chain:
+            # the chain re-reads feats per combo AND lets XLA recompute
+            # shared take-prefixes into each where's fusion — the top
+            # composed block in BOTH dims once the quad-build taxes fell
+            # (round-4 session 3: 2D 10 x 0.885 ms, 3D 7.8 ms/step).
+            # select_n's which = the per-tile variant-combo id; every
+            # case is a direct operand of one op. Exact: same f32 values
+            # selected; the VJP selects cotangents per case like the
+            # where-chain did.
+            cases = [contract(list(deltas)) for deltas in combos]
+            which = jnp.zeros_like(dim_bits[0])
+            for i in range(d):
+                which = which + dim_bits[i].astype(jnp.int32) * (
+                    n_var ** (d - 1 - i)
+                )
+            return jax.lax.select_n(
+                jnp.broadcast_to(which[:, None], cases[0].shape), *cases
+            )
         feats = jnp.zeros((strata**d, C), jnp.float32)
-        for deltas in itertools.product(range(n_var), repeat=d):
+        for deltas in combos:
             mask = None
             for i in range(d):
                 m = dim_bits[i] == deltas[i]
@@ -2054,6 +2082,7 @@ class GridEncoding(Encoding):
             "quad_pack": self.quad_pack,
             "quad_build": self.quad_build,
             "level_split": self.level_split,
+            "strat_accum": self.strat_accum,
             "table_dtype": self.table_dtype,
         }
         if self.raster_max_scale is not None:
@@ -2173,6 +2202,9 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         enc.raster_max_scale = float(
             (enc.stratified_max_variants - 1) * strata
         )
+        enc.strat_accum = json_value(encoding, "strat_accum", "auto")
+        if enc.strat_accum not in ("auto", "select_n", "where"):
+            raise ValueError(f"invalid strat_accum {enc.strat_accum!r}")
         enc.locked_rounding = json_value(encoding, "locked_rounding", "pair")
         if enc.locked_rounding not in ("pair", "single", "sr", "f32"):
             raise ValueError(
