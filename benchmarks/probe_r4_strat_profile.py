@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Per-op attribution of the 2D flagship STRATIFIED-pair step (the
+reference-exact-geometry mode, bench.py --sampler stratified, measured
+25.9 ms/step in round 4) — the floor-proof branch of VERDICT r3 next-5.
+
+Matches the bench secondary's program minus batch generation (x/targets
+as args, no EMA, scatter auto = compensated-pair factored MXU on the 5
+fine levels, static stratified path on levels 0-10, cf quad build,
+level_split auto). Emits the trace-op table plus the optimized HLO so
+each surviving block can be argued against a measured floor:
+  - fine-level factored pair scatters: MXU roofline (82% measured, PLAN r2)
+  - fine-level fwd gathers: XLA emitter per-row rate (1.8 ns/row)
+  - static coarse path: take/select bandwidth (probe_cf_static)
+  - res-922 static level relayout whiles: the known ~1.3 ms open item
+
+Run ON TPU:
+    python -u benchmarks/probe_r4_strat_profile.py \
+        > benchmarks/logs/_r4_strat_profile.txt 2>&1
+"""
+
+import glob
+import gzip
+import json
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+import tcnn_tpu as tc  # noqa: E402
+from tcnn_tpu.utils.sampling import stratified_uniform  # noqa: E402
+
+TRACE_DIR = "/tmp/tcnn_trace_r4strat"
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    batch = 2**18
+    x = stratified_uniform(jax.random.PRNGKey(0), batch, 2)
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3))
+    model = tc.create_from_config(2, 3, {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2,
+                      "beta2": 0.99, "epsilon": 1e-15, "l2_reg": 1e-6},
+        "encoding": {
+            "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+            "log2_hashmap_size": 15, "base_resolution": 16,
+            "per_level_scale": 1.5, "hash": "CoherentAdditive",
+            "gather_strategy": "stratified",
+        },
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    }, seed=1)
+    trainer = model.trainer
+
+    def step(state, xx, tt):
+        return trainer._step_impl(state, xx, tt, None)
+
+    c = jax.jit(step)
+    state = trainer.state
+    out = c(state, x, tgt)
+    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = c(state, x, tgt)
+    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    print(f"full step: {(time.perf_counter()-t0)/10*1e3:.2f} ms", flush=True)
+
+    jax.profiler.start_trace(TRACE_DIR)
+    for _ in range(3):
+        out = c(state, x, tgt)
+    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    jax.profiler.stop_trace()
+
+    files = glob.glob(TRACE_DIR + "/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print("no trace files", flush=True)
+        return
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    name_by_pid = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name_by_pid[e["pid"]] = e["args"].get("name", "")
+    totals = defaultdict(float)
+    counts = defaultdict(int)
+    grand = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = name_by_pid.get(e.get("pid"), "")
+        if "TPU" not in pname and "device" not in pname.lower():
+            continue
+        nm = e.get("name", "")
+        if nm.startswith("jit_"):
+            continue
+        totals[nm] += e.get("dur", 0.0)
+        counts[nm] += 1
+        grand += e.get("dur", 0.0)
+    print(f"\ndevice tracks: {sorted(set(name_by_pid.values()))}")
+    print(f"grand total {grand/3:.0f} us/step over 3 steps")
+    print(f"{'us/step':>9} {'n':>5}  op")
+    for nm, us in sorted(totals.items(), key=lambda kv: -kv[1])[:80]:
+        print(f"{us/3:9.0f} {counts[nm]:5d}  {nm[:110]}")
+
+    # Category rollup: prefix classes of the trace-op names give the
+    # scatter/gather/layout split without the per-op noise.
+    cats = defaultdict(float)
+    for nm, us in totals.items():
+        key = nm.split(".")[0].split("_")[0]
+        cats[key] += us
+    print("\ncategory rollup (us/step):")
+    for nm, us in sorted(cats.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{us/3:9.0f}  {nm}")
+
+    hlo = c.lower(state, x, tgt).compile().as_text()
+    out_path = Path(__file__).parent / "logs" / "_r4_strat_hlo.txt"
+    out_path.write_text(hlo)
+    print(f"full HLO -> {out_path} ({len(hlo)} bytes)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
