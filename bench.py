@@ -113,9 +113,12 @@ def build_parser():
         "jitter vectors per batch (additionally enables compile-time-static "
         "fine levels — no scatter emitter at all; PLAN.md round 3), 'iid' "
         "matches the reference's curand-uniform loop exactly. Default: "
-        "phase_locked (the flagship fast mode, paired with EMA below; "
-        "51.6 dB on the 1000-step golden), stratified for --serving "
-        "(the mode the committed serving artifact was measured with).",
+        "stratified in 2D (the round-4 flagship mode: reference-exact "
+        "geometry + stochastically-rounded one-matmul scatter + EMA — "
+        "21.9 ms at 53.2 dB on the 1000-step golden), phase_locked for "
+        "--protocol 3d (static-CSR fine levels win at NeRF scale), "
+        "stratified for --serving (the mode the committed serving "
+        "artifact was measured with).",
     )
     parser.add_argument(
         "--locked-rounding",
@@ -144,9 +147,11 @@ def build_parser():
         default=None,
         help="Wrap the optimizer in EMA with this decay (0 = off). "
         "Inference/serving then run on the averaged weights — the "
-        "reference's optimizers/ema.h; pairs with --sampler phase_locked "
-        "to average the phase-dither equilibrium across steps. Default: "
-        "0.99 with the phase_locked sampler, else 0.",
+        "reference's optimizers/ema.h. EMA averages sampler/rounding "
+        "dither across steps: it lifts the stratified golden 47.3 -> "
+        "53.2 dB and the locked golden to 51.6 dB at ~zero step cost. "
+        "Default: 0.99 for the stratified/phase_locked samplers, 0 for "
+        "iid and --serving (the committed serving artifact's program).",
     )
     parser.add_argument(
         "--locked-phases",
@@ -176,8 +181,14 @@ def build_parser():
     parser.add_argument(
         "--scatter-strategy",
         default=None,
-        help="Override the HashGrid scatter strategy (default 'auto'; "
-        "e.g. 'factored_fused', 'factored_sr', 'xla_half').",
+        help="Override the HashGrid scatter strategy (default: "
+        "'factored_sr' for the 2D stratified primary — ONE bf16 MXU "
+        "matmul per fine level with value-hashed stochastic rounding, "
+        "the precision class of the reference's half grad_t atomics "
+        "(grid.h:660-671); EMA recovers the rounding dither (golden "
+        "53.2 dB vs the fp32-exact pair's 53.2). 'auto' (= the "
+        "fp32-exact compensated pair on fine levels) everywhere else; "
+        "also 'factored_fused', 'xla_half', 'xla'.",
     )
     parser.add_argument(
         "--table-dtype",
@@ -220,9 +231,13 @@ def build_parser():
     return parser
 
 
-def build_config(args, sampler, ema):
+def build_config(args, sampler, ema, scatter=None):
     """Flagship config for one sampler mode (exact protocol parity with the
-    reference's data/config_hash.json: Adam beta2=0.99/eps=1e-15/l2=1e-6)."""
+    reference's data/config_hash.json: Adam beta2=0.99/eps=1e-15/l2=1e-6).
+    ``scatter`` overrides the scatter strategy for THIS config only (used
+    by main() to give the 2D stratified primary its factored_sr default
+    without leaking it into the phase-locked secondary's program)."""
+    scatter = scatter if scatter is not None else args.scatter_strategy
     adam = {
         "otype": "Adam",
         "learning_rate": 1e-2,
@@ -277,8 +292,8 @@ def build_config(args, sampler, ema):
                 else {}
             ),
             **(
-                {"scatter_strategy": args.scatter_strategy}
-                if args.scatter_strategy
+                {"scatter_strategy": scatter}
+                if scatter
                 else {}
             ),
             **(
@@ -317,7 +332,7 @@ def timed_blocks(run_block, state, keys_blocks, n_steps_per_block):
     return state, ms
 
 
-def measure_training(args, sampler, ema, image_np=None):
+def measure_training(args, sampler, ema, image_np=None, scatter=None):
     """One full training-throughput measurement for one sampler config.
     Returns a dict with the median-block throughput + per-block ms."""
     import jax
@@ -327,7 +342,9 @@ def measure_training(args, sampler, ema, image_np=None):
     from tcnn_tpu.utils.sampling import stratified_uniform
 
     n_dims = 2 if args.protocol == "2d" else 3
-    model = tc.create_from_config(n_dims, 3, build_config(args, sampler, ema))
+    model = tc.create_from_config(
+        n_dims, 3, build_config(args, sampler, ema, scatter)
+    )
     trainer = model.trainer
 
     res = 512
@@ -469,6 +486,7 @@ def measure_training(args, sampler, ema, image_np=None):
     return {
         "sampler": sampler,
         "ema": ema,
+        "scatter": scatter or args.scatter_strategy or "auto",
         "ms_per_step": round(median_ms, 3),
         "ms_blocks": [round(m, 3) for m in ms_blocks],
         "samples_per_sec": round(args.batch / median_ms * 1e3, 1),
@@ -478,16 +496,38 @@ def measure_training(args, sampler, ema, image_np=None):
 
 def main():
     args = build_parser().parse_args()
-    # Flagship fast mode (PLAN.md round 3): phase-locked G=1 + EMA(0.99) —
-    # 51.6 dB on the 1000-step golden (above the 47+ dB band). Serving
-    # keeps the stratified config the committed serving artifact was
-    # measured with (the sampler never runs at serving time; only the
+    # Flagship fast mode (PLAN.md round 4 session 5): stratified sampler
+    # (reference-exact geometry — no scale snapping) + factored_sr scatter
+    # (ONE bf16 MXU matmul per fine level, stochastic rounding = the
+    # precision class of the reference's half grad_t atomics) + EMA(0.99)
+    # (the reference's optimizers/ema.h; averages the rounding dither
+    # across steps) — 21.90 ms/step at 53.23 dB on the 1000-step golden,
+    # vs the round-3 phase-locked default's 21.90 ms at 51.6 dB. 3D keeps
+    # the phase-locked static-CSR default (wins at NeRF scale). Serving
+    # keeps the stratified/no-EMA config the committed serving artifact
+    # was measured with (the sampler never runs at serving time; only the
     # encoding-config cache key depends on it).
     explicit_sampler = args.sampler is not None
     if args.sampler is None:
-        args.sampler = "stratified" if args.serving else "phase_locked"
+        args.sampler = (
+            "stratified"
+            if (args.serving or args.protocol == "2d")
+            else "phase_locked"
+        )
     if args.ema is None:
-        args.ema = 0.99 if args.sampler == "phase_locked" else 0.0
+        args.ema = (
+            0.0
+            if (args.serving or args.sampler == "iid")
+            else 0.99
+        )
+    primary_scatter = args.scatter_strategy
+    if (
+        primary_scatter is None
+        and args.protocol == "2d"
+        and args.sampler == "stratified"
+        and not args.serving
+    ):
+        primary_scatter = "factored_sr"
     if args.log2_hashmap is None:
         args.log2_hashmap = 15 if args.protocol == "2d" else 19
     if args.locked_rounding is None and args.protocol == "3d":
@@ -582,14 +622,20 @@ def main():
             axis=-1,
         ).astype(np.float32)
 
-    primary = measure_training(args, args.sampler, args.ema, image_np)
+    primary = measure_training(
+        args, args.sampler, args.ema, image_np, scatter=primary_scatter
+    )
 
     secondary = None
     if args.protocol == "2d" and not args.no_ab and not explicit_sampler:
-        # Back-to-back A/B in the SAME session: the locked default vs the
-        # reference-exact-geometry stratified sampler (VERDICT r3 next-2 —
-        # one captured number per mode, same tunnel conditions).
-        secondary = measure_training(args, "stratified", 0.0, image_np)
+        # Back-to-back A/B in the SAME session (VERDICT r3 next-2 — one
+        # captured number per mode, same tunnel conditions): the
+        # stratified-SR primary vs the round-3 phase-locked static-CSR
+        # mode (its program unchanged: auto scatter, EMA 0.99).
+        secondary = measure_training(
+            args, "phase_locked", 0.99, image_np,
+            scatter=args.scatter_strategy,
+        )
 
     metric = (
         "image_fit_training_throughput_hashgrid16x2_ffmlp64x2_b2^18"
@@ -604,12 +650,16 @@ def main():
             primary["samples_per_sec"] / BASELINE_SAMPLES_PER_SEC, 4
         ),
         "sampler": primary["sampler"],
+        "scatter": primary["scatter"],
+        "ema": primary["ema"],
         "ms_per_step": primary["ms_per_step"],
         "ms_blocks": primary["ms_blocks"],
     }
     if secondary is not None:
         result["secondary"] = {
             "sampler": secondary["sampler"],
+            "scatter": secondary["scatter"],
+            "ema": secondary["ema"],
             "ms_per_step": secondary["ms_per_step"],
             "ms_blocks": secondary["ms_blocks"],
             "samples_per_sec": secondary["samples_per_sec"],
@@ -627,7 +677,8 @@ def main():
     )
     if secondary is not None:
         print(
-            f"# secondary [stratified]: {secondary['ms_per_step']:.3f} "
+            f"# secondary [{secondary['sampler']}]: "
+            f"{secondary['ms_per_step']:.3f} "
             f"ms/step (blocks: {secondary['ms_blocks']}), final loss "
             f"{secondary['final_loss']:.3e}",
             file=sys.stderr,
