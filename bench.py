@@ -494,19 +494,25 @@ def measure_training(args, sampler, ema, image_np=None, scatter=None):
     }
 
 
-def main():
-    args = build_parser().parse_args()
-    # Flagship fast mode (PLAN.md round 4 session 5): stratified sampler
-    # (reference-exact geometry — no scale snapping) + factored_sr scatter
-    # (ONE bf16 MXU matmul per fine level, stochastic rounding = the
-    # precision class of the reference's half grad_t atomics) + EMA(0.99)
-    # (the reference's optimizers/ema.h; averages the rounding dither
-    # across steps) — 21.90 ms/step at 53.23 dB on the 1000-step golden,
-    # vs the round-3 phase-locked default's 21.90 ms at 51.6 dB. 3D keeps
-    # the phase-locked static-CSR default (wins at NeRF scale). Serving
-    # keeps the stratified/no-EMA config the committed serving artifact
-    # was measured with (the sampler never runs at serving time; only the
-    # encoding-config cache key depends on it).
+def resolve_mode_defaults(args):
+    """Resolve the per-protocol mode defaults in place; returns
+    (explicit_sampler, primary_scatter).
+
+    Flagship fast mode (PLAN.md round 4 session 5): stratified sampler
+    (reference-exact geometry — no scale snapping) + factored_sr scatter
+    (ONE bf16 MXU matmul per fine level, stochastic rounding = the
+    precision class of the reference's half grad_t atomics) + EMA(0.99)
+    (the reference's optimizers/ema.h; averages the rounding dither
+    across steps) — 21.5-21.9 ms/step at 53.23 dB on the 1000-step
+    golden, vs the round-3 phase-locked default's 21.9-22.1 ms at
+    51.6 dB. 3D keeps the phase-locked static-CSR default (wins at NeRF
+    scale). Serving keeps the stratified/no-EMA config the committed
+    serving artifact was measured with (the sampler never runs at
+    serving time; only the encoding-config cache key depends on it).
+    The factored_sr default applies to the 2D stratified PRIMARY only
+    (returned separately, not written to args.scatter_strategy) so it
+    never leaks into the phase-locked secondary's program.
+    """
     explicit_sampler = args.sampler is not None
     if args.sampler is None:
         args.sampler = (
@@ -537,6 +543,12 @@ def main():
         # compensated pair (probe_3d_final round 3; pair stays the 2D
         # default where it wins composed).
         args.locked_rounding = "single"
+    return explicit_sampler, primary_scatter
+
+
+def main():
+    args = build_parser().parse_args()
+    explicit_sampler, primary_scatter = resolve_mode_defaults(args)
 
     import os
 
