@@ -15,11 +15,22 @@ every loop-invariant table build out of the per-call jitted program:
   inference path re-runs the training kernels on a separate stream
   (reference: benchmarks/mlp/bench_mlp_ours.cu:64-137).
 
+Scale-out: pass a ``jax.sharding.Mesh`` to serve over multiple chips —
+params and prebuilt tables are **replicated**, batches and rasters are
+**sharded** on the batch axis (the same replicate-weights/shard-batch
+design as ``parallel.data_parallel``; weights are a few MB, so
+replication is free and no collective runs at serve time — per-sample
+inference is embarrassingly parallel). The reference has no multi-GPU
+inference path at all; on TPU the mesh IS the serving fleet.
+
 Usage::
 
     server = trainer.freeze_serving()
     y = server(x)                  # arbitrary (B, d) batches
     img = server.raster((w, h))    # full-raster evaluation (fastest)
+
+    server = trainer.freeze_serving(mesh=Mesh(jax.devices(), ("data",)))
+    y = server(x)                  # B sharded over the mesh
 """
 
 from __future__ import annotations
@@ -29,16 +40,24 @@ from typing import Dict, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 class FrozenServer:
-    def __init__(self, trainer):
+    def __init__(self, trainer, mesh: Optional[Mesh] = None,
+                 axis_name: str = "data"):
         self.model = trainer.model
         self.n_output_dims = int(self.model.n_output_dims)
+        self._mesh = mesh
+        if mesh is not None:
+            self._replicated = NamedSharding(mesh, P())
+            self._batch_sharded = NamedSharding(mesh, P(axis_name, None))
         # Device-side COPY: the trainer's jitted step donates its state
         # buffers, so holding a reference to the live params would be
         # invalidated by the next training step.
         self._params = jax.jit(jnp.copy)(trainer.inference_params())
+        if mesh is not None:
+            self._params = jax.device_put(self._params, self._replicated)
         self._tables: Optional[Dict] = None
         enc = getattr(self.model, "encoding", None)
         net = getattr(self.model, "network", None)
@@ -54,9 +73,18 @@ class FrozenServer:
 
             tables = jax.jit(_build)(self._params)
             if tables:
+                if mesh is not None:
+                    tables = jax.device_put(tables, self._replicated)
                 self._tables = tables
         self._batch_jits: Dict = {}
         self._raster_jits: Dict = {}
+
+    def _check_shard(self, batch: int, what: str):
+        if self._mesh is not None and batch % self._mesh.size != 0:
+            raise ValueError(
+                f"{what} size {batch} must be divisible by the serving "
+                f"mesh size {self._mesh.size}"
+            )
 
     # -- entry points -----------------------------------------------------------
     # A server is meant for a small fixed set of serving shapes; bound the
@@ -67,6 +95,7 @@ class FrozenServer:
     def __call__(self, x) -> jnp.ndarray:
         """Serve an arbitrary (B, d) batch; returns (B, n_output_dims)
         float32. Jitted and cached per input shape+dtype."""
+        self._check_shard(int(np.shape(x)[0]), "batch")
         key = (tuple(x.shape), jnp.asarray(x).dtype.name)
         fn = self._batch_jits.get(key)
         if fn is None:
@@ -89,9 +118,18 @@ class FrozenServer:
                 out = self.model.apply(params, xx, **kw)
                 return out[:, : self.n_output_dims].astype(jnp.float32)
 
-            fn = self._batch_jits[key] = jax.jit(_infer)
+            jit_kw = (
+                {"out_shardings": self._batch_sharded}
+                if self._mesh is not None
+                else {}
+            )
+            fn = self._batch_jits[key] = jax.jit(_infer, **jit_kw)
         from .networks.fully_fused import ffmlp_inference_mode
 
+        if self._mesh is not None:
+            # Shard the batch; params/tables are committed replicated, so
+            # the per-sample program partitions with NO collectives.
+            x = jax.device_put(x, self._batch_sharded)
         with ffmlp_inference_mode():
             return fn(self._params, self._tables, x)
 
@@ -103,6 +141,12 @@ class FrozenServer:
         side = (
             int(side) if np.isscalar(side) else tuple(int(s) for s in side)
         )
+        n_pts = int(
+            side ** self.model.n_input_dims
+            if isinstance(side, int)
+            else np.prod(side)
+        )
+        self._check_shard(n_pts, "raster")
         fn = self._raster_jits.get(side)
         if fn is None:
             if len(self._raster_jits) >= self._CACHE_MAX:
@@ -123,7 +167,16 @@ class FrozenServer:
                     out = self.model.apply(params, x)
                     return out[:, : self.n_output_dims].astype(jnp.float32)
 
-            fn = self._raster_jits[side] = jax.jit(_infer)
+            jit_kw = (
+                # The raster is generated INSIDE the program (no host
+                # batch to place); the sharded output alone makes XLA's
+                # SPMD partitioner shard the whole per-sample pipeline —
+                # raster generation included — across the mesh.
+                {"out_shardings": self._batch_sharded}
+                if self._mesh is not None
+                else {}
+            )
+            fn = self._raster_jits[side] = jax.jit(_infer, **jit_kw)
         from .networks.fully_fused import ffmlp_inference_mode
 
         with ffmlp_inference_mode():

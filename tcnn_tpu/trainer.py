@@ -359,15 +359,19 @@ class Trainer:
         with ffmlp_inference_mode():  # trace-time serving-optimal routing
             return jits[side](self.inference_params())
 
-    def freeze_serving(self):
+    def freeze_serving(self, mesh=None, axis_name: str = "data"):
         """Production serving handle: snapshots the current inference
         params, prebuilds the grid's per-level quad tables ONCE
         (device-resident), and serves batches/rasters through
         consume-only jitted programs (see serving.FrozenServer). The
-        handle is a snapshot — training further does not change it."""
+        handle is a snapshot — training further does not change it.
+
+        Pass a ``jax.sharding.Mesh`` to scale serving out over multiple
+        chips: params/tables replicate, batches and rasters shard on the
+        batch axis with no serve-time collectives."""
         from .serving import FrozenServer
 
-        return FrozenServer(self)
+        return FrozenServer(self, mesh=mesh, axis_name=axis_name)
 
     # -- hyperparams ------------------------------------------------------------
     def update_hyperparams(self, params: Dict):

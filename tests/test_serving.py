@@ -145,6 +145,51 @@ def test_plain_network_model():
     )
 
 
+def _serving_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def test_sharded_batch_parity(trained):
+    """Mesh-sharded serving (replicated params/tables, batch sharded)
+    bit-matches the single-device server — per-sample inference is
+    embarrassingly parallel, so SPMD partitioning reorders nothing."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _serving_mesh()
+    server = trained.trainer.freeze_serving()
+    server_dp = trained.trainer.freeze_serving(mesh=mesh)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (8 * 40, 2)).astype(np.float32)
+    )
+    y = server(x)
+    y_dp = server_dp(x)
+    # Output really lands sharded over the mesh's batch axis.
+    assert y_dp.sharding == NamedSharding(mesh, P("data", None))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_dp))
+    # Non-divisible batches are rejected with a clear error.
+    with pytest.raises(ValueError, match="divisible"):
+        server_dp(x[: 8 * 40 - 3])
+
+
+def test_sharded_raster_parity(trained):
+    """The raster program (static coarse path included) partitions over
+    the mesh from the sharded-output constraint alone."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _serving_mesh()
+    server = trained.trainer.freeze_serving()
+    server_dp = trained.trainer.freeze_serving(mesh=mesh)
+    for side in (16, (32, 16)):
+        y = server.raster(side)
+        y_dp = server_dp.raster(side)
+        assert y_dp.sharding == NamedSharding(mesh, P("data", None))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_dp), rtol=0, atol=1e-6
+        )
+
+
 def test_composite_nrc_serving():
     # NRC preset: Composite(grid + oneblob + ...) — nested grid tables
     # prebuild through CompositeEncoding.serving_tables.
