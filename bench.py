@@ -98,6 +98,16 @@ def build_parser():
         "(benchmarks/mlp/bench_mlp_ours.cu:64-137, ~1e9-class elem/s).",
     )
     parser.add_argument(
+        "--serving-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="Storage dtype of the PREBUILT serving tables (serve-time "
+        "only; training/live inference untouched). bfloat16 trades one "
+        "table-read rounding (~0.4%% rel) for smaller gather traffic "
+        "(the emitter charges per row, so the win is small; see "
+        "serving.FrozenServer).",
+    )
+    parser.add_argument(
         "--sort-batch",
         action="store_true",
         help="Morton-sort each batch before the step (same training "
@@ -583,7 +593,11 @@ def main():
         model = tc.create_from_config(
             2, 3, build_config(args, args.sampler, args.ema)
         )
-        server = model.trainer.freeze_serving()
+        server = model.trainer.freeze_serving(
+            table_dtype=(
+                None if args.serving_dtype == "float32" else args.serving_dtype
+            )
+        )
         side = 1024
         n = side * side
         y = server.raster((side, side))

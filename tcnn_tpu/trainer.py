@@ -359,7 +359,8 @@ class Trainer:
         with ffmlp_inference_mode():  # trace-time serving-optimal routing
             return jits[side](self.inference_params())
 
-    def freeze_serving(self, mesh=None, axis_name: str = "data"):
+    def freeze_serving(self, mesh=None, axis_name: str = "data",
+                       table_dtype=None):
         """Production serving handle: snapshots the current inference
         params, prebuilds the grid's per-level quad tables ONCE
         (device-resident), and serves batches/rasters through
@@ -368,10 +369,14 @@ class Trainer:
 
         Pass a ``jax.sharding.Mesh`` to scale serving out over multiple
         chips: params/tables replicate, batches and rasters shard on the
-        batch axis with no serve-time collectives."""
+        batch axis with no serve-time collectives. ``table_dtype``
+        stores the prebuilt tables half-precision at serve time only
+        (see serving.FrozenServer)."""
         from .serving import FrozenServer
 
-        return FrozenServer(self, mesh=mesh, axis_name=axis_name)
+        return FrozenServer(
+            self, mesh=mesh, axis_name=axis_name, table_dtype=table_dtype
+        )
 
     # -- hyperparams ------------------------------------------------------------
     def update_hyperparams(self, params: Dict):

@@ -190,6 +190,27 @@ def test_sharded_raster_parity(trained):
         )
 
 
+def test_serving_table_dtype_override(trained):
+    """Serve-time bf16 table storage: tables round once at build;
+    output tracks the f32 server to bf16 storage precision; training
+    state and the f32 server are untouched."""
+    server = trained.trainer.freeze_serving()
+    server_bf = trained.trainer.freeze_serving(table_dtype="bfloat16")
+    assert all(
+        t.dtype == jnp.bfloat16 for t in server_bf._tables.values()
+    )
+    x = jnp.asarray(
+        np.random.default_rng(11).uniform(0, 1, (256, 2)).astype(np.float32)
+    )
+    y = np.asarray(server(x))
+    y_bf = np.asarray(server_bf(x))
+    assert np.isfinite(y_bf).all()
+    # bf16 has ~2^-8 relative storage rounding; the MLP roughly
+    # preserves relative error scale on these O(1) outputs.
+    np.testing.assert_allclose(y, y_bf, rtol=0, atol=0.05)
+    assert np.abs(y - y_bf).max() > 0  # it really did round
+
+
 def test_composite_nrc_serving():
     # NRC preset: Composite(grid + oneblob + ...) — nested grid tables
     # prebuild through CompositeEncoding.serving_tables.
