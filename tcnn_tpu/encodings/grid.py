@@ -1835,8 +1835,9 @@ class GridEncoding(Encoding):
                         # Production serving: gather from the prebuilt
                         # quad table (built once by serving_tables; the
                         # per-call roll+concat quad build is loop-
-                        # invariant under frozen params). Table is
-                        # already in the forward dtype.
+                        # invariant under frozen params). The table
+                        # carries the server's dtype choice — f32 by
+                        # default, bf16 under table_dtype overrides.
                         feats = gather_rows(
                             served_tables[lvl], idx, mode
                         ).reshape(batch, n_corners, F)

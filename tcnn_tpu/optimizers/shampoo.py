@@ -6,10 +6,12 @@
   momentum m1/(sqrt(m2)+eps) (shampoo.h:166-192);
 - per-matrix preconditioners L (MxM), R (NxN) as debiased EMAs of G G^T and
   G^T G computed on the momentum (``cg_on_momentum``, shampoo.h:728-757);
-- on a refresh schedule (every 10 steps early, 200 later — shampoo.h:832-842)
-  the inverse 4th roots are recomputed from the symmetrized, identity-blended
+- on a refresh schedule (interval 10 early / 200 late, rotated over runs of
+  same-shape matrices — shampoo.h:832-842) the inverse 4th roots are
+  recomputed AT THE END of the step from the symmetrized, identity-blended
   preconditioners via the coupled Newton iteration of Higham's
-  inverse-pth-root method (shampoo.h:434-631);
+  inverse-pth-root method (shampoo.h:434-631); each step's update consumes
+  the previous refresh's roots, and nothing matrix-shaped moves on step 1;
 - update = EMA_{beta_shampoo}(L^{-1/4} G R^{-1/4}), optionally rescaled so its
   Frobenius norm matches the would-be-Adam update (shampoo.h:798-801);
 - params not covered by weight matrices get the plain grafting update
@@ -130,6 +132,21 @@ class ShampooOptimizer(Optimizer):
         beta = decay * (1.0 - decay**t) / debias
         return alpha, beta
 
+    @property
+    def matrix_batches(self):
+        """Runs of consecutive same-shape matrices (shampoo.h:371-396).
+        The refresh schedule rotates over BATCHES, not matrices."""
+        batches = []
+        if self.layer_sizes:
+            cur = self.layer_sizes[0]
+            start = 0
+            for i, p in enumerate(self.layer_sizes):
+                if p != cur:
+                    batches.append((start, i))
+                    start, cur = i, p
+            batches.append((start, len(self.layer_sizes)))
+        return batches
+
     def step(self, state, params, grads, loss_scale: float):
         prev = state["step"]
         current = prev + 1
@@ -139,28 +156,46 @@ class ShampooOptimizer(Optimizer):
         a_sh, b_sh = self._debiased_alpha_beta(self.beta_shampoo, prev)
 
         w = params.astype(jnp.float32)
-        g = grads.astype(jnp.float32) / loss_scale + self.l2_reg * w
+        raw_g = grads.astype(jnp.float32) / loss_scale
+        g = raw_g + self.l2_reg * w
         first = b1 * state["first_moments"] + a1 * g
         second = b2 * state["second_moments"] + a2 * g * g
         momentum = first / (jnp.sqrt(second) + self.epsilon)
 
         n_mat = self.n_matrix_weights
-        n_layers = len(self.layer_sizes)
+        batches = self.matrix_batches
+        n_batches = len(batches)
 
         new_L, new_R, new_Lr, new_Rr = [], [], [], []
         new_sh_momentum = []
         new_matrix_weights = []
 
-        # Root refresh schedule (shampoo.h:832-842), one "batch" per matrix.
-        single_interval_early = max(1, 10 // max(n_layers, 1))
-        single_interval_late = max(1, 200 // max(n_layers, 1))
+        # Root refresh schedule (shampoo.h:832-842): interval 10 early /
+        # 200 late, divided (integer div) over the shape batches. The
+        # reference would divide by zero past 10/200 batches; guard at 1.
+        single_interval_early = max(1, 10 // max(n_batches, 1))
+        single_interval_late = max(1, 200 // max(n_batches, 1))
         single_interval = jnp.where(
             current < 100, single_interval_early, single_interval_late
         )
 
-        # Preconditioner statistics source: momentum (default) or the raw
-        # descaled gradient (shampoo.h:744, cg_on_momentum).
-        precond_src = momentum if self.cg_on_momentum else g
+        # Preconditioner statistics source: the grafting momentum
+        # (default) or the raw descaled gradient WITHOUT the l2 term —
+        # the reference feeds the untouched gradient buffer to the L/R
+        # GEMMs and folds 1/loss_scale^2 into alpha_3 (shampoo.h:638-641,
+        # 721-726, cg_on_momentum).
+        precond_src = momentum if self.cg_on_momentum else raw_g
+
+        # Per-layer refresh flags (all matrices of a batch move together):
+        # every batch on the first step, else batch (step/interval) mod
+        # n_batches when step % interval == 0 (shampoo.h:836-842).
+        layer_refresh = []
+        for bi, (b_start, b_end) in enumerate(batches):
+            flag = (prev == 0) | (
+                (jnp.mod(current, single_interval) == 0)
+                & (jnp.mod(current // single_interval, n_batches) == bi)
+            )
+            layer_refresh.extend([flag] * (b_end - b_start))
 
         offset = 0
         for li, (rows, cols) in enumerate(self.layer_sizes):
@@ -173,34 +208,22 @@ class ShampooOptimizer(Optimizer):
             new_L.append(L)
             new_R.append(R)
 
-            refresh = (prev == 0) | (
-                (jnp.mod(current, single_interval) == 0)
-                & (jnp.mod(current // single_interval, n_layers) == li)
-            )
-
-            def compute_roots(LR):
-                Lm, Rm = LR
-                Ls = 0.5 * (Lm + Lm.T) * (1 - self.identity_strength) + (
-                    self.identity_strength * jnp.eye(rows, dtype=jnp.float32)
-                )
-                Rs = 0.5 * (Rm + Rm.T) * (1 - self.identity_strength) + (
-                    self.identity_strength * jnp.eye(cols, dtype=jnp.float32)
-                )
-                return _inverse_4th_root(Ls), _inverse_4th_root(Rs)
-
-            def keep_roots(LR):
-                return state["L_root"][li], state["R_root"][li]
-
-            L_root, R_root = jax.lax.cond(refresh, compute_roots, keep_roots,
-                                          (L, R))
-            new_Lr.append(L_root)
-            new_Rr.append(R_root)
+            # The update step consumes the roots of the PREVIOUS refresh
+            # (the reference refreshes at the END of the step, visible
+            # from the next step on — shampoo.h:766-830 vs 844-856).
+            L_root = state["L_root"][li]
+            R_root = state["R_root"][li]
 
             update = L_root @ gm @ R_root
             sh_prev = state["shampoo_momentum"][offset : offset + size].reshape(
                 rows, cols
             )
             sh = b_sh * sh_prev + a_sh * update
+            # Neither shampoo-momentum nor the matrix weights move on the
+            # very first step: the whole update block is gated on
+            # current_step-1 > 0 (shampoo.h:766-768) — the roots are only
+            # initialized at the end of step 1.
+            sh = jnp.where(prev == 0, sh_prev, sh)
             new_sh_momentum.append(sh.reshape(-1))
 
             lr = self.base_learning_rate
@@ -214,10 +237,27 @@ class ShampooOptimizer(Optimizer):
                 wm
             ) * (self.absolute_weight_decay * lr)
             updated = decayed - lr * sh
-            # Matrix params do not move on the very first step
-            # (shampoo.h:766-768: update only when current_step-1 > 0).
             updated = jnp.where(prev == 0, wm, updated)
             new_matrix_weights.append(updated.reshape(-1))
+
+            def compute_roots(LR, rows=rows, cols=cols):
+                Lm, Rm = LR
+                Ls = 0.5 * (Lm + Lm.T) * (1 - self.identity_strength) + (
+                    self.identity_strength * jnp.eye(rows, dtype=jnp.float32)
+                )
+                Rs = 0.5 * (Rm + Rm.T) * (1 - self.identity_strength) + (
+                    self.identity_strength * jnp.eye(cols, dtype=jnp.float32)
+                )
+                return _inverse_4th_root(Ls), _inverse_4th_root(Rs)
+
+            def keep_roots(LR, li=li):
+                return state["L_root"][li], state["R_root"][li]
+
+            L_root_new, R_root_new = jax.lax.cond(
+                layer_refresh[li], compute_roots, keep_roots, (L, R)
+            )
+            new_Lr.append(L_root_new)
+            new_Rr.append(R_root_new)
             offset += size
 
         # Remaining (non-matrix) params: grafting update (shampoo.h:265-283).

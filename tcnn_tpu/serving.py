@@ -188,7 +188,12 @@ class FrozenServer:
                 x = raster_centers(side, self.model.n_input_dims)
 
                 def _infer(params, tables):
-                    out = self.model.apply(params, x)
+                    kw = (
+                        {"served_tables": tables}
+                        if tables is not None
+                        else {}
+                    )
+                    out = self.model.apply(params, x, **kw)
                     return out[:, : self.n_output_dims].astype(jnp.float32)
 
             jit_kw = (

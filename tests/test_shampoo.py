@@ -67,7 +67,7 @@ def test_training_convergence_quadratic():
 def test_end_to_end_with_trainer():
     config = {
         "loss": {"otype": "L2"},
-        "optimizer": {"otype": "Shampoo", "learning_rate": 5e-3},
+        "optimizer": {"otype": "Shampoo", "learning_rate": 2e-3},
         "encoding": {"otype": "Identity"},
         "network": {"otype": "CutlassMLP", "n_neurons": 16,
                     "n_hidden_layers": 1},
@@ -75,8 +75,12 @@ def test_end_to_end_with_trainer():
     model = tc.create_from_config(2, 2, config)
     r = np.random.default_rng(3)
     losses = []
-    for _ in range(40):
+    # 100 steps at lr 2e-3: the reference-exact schedule freezes matrix
+    # params on step 1 and applies roots one refresh late, and Frobenius
+    # normalization gives constant-magnitude steps (an lr-scale dither
+    # floor near the optimum) — so the horizon/lr must clear that floor.
+    for _ in range(100):
         x = jnp.asarray(r.uniform(0, 1, (256, 2)).astype(np.float32))
         y = x[:, ::-1] * 0.5
         losses.append(float(model.training_step(x, y)))
-    assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:5])
+    assert np.mean(losses[-5:]) < 0.25 * np.mean(losses[:5])
