@@ -13,6 +13,11 @@ Both compose on orthogonal axes of one ``Mesh``.
 """
 
 from .data_parallel import DataParallelTrainer, make_mesh
-from .table_parallel import TableParallelGrid
+from .table_parallel import TableParallelGrid, TableParallelTrainer
 
-__all__ = ["DataParallelTrainer", "TableParallelGrid", "make_mesh"]
+__all__ = [
+    "DataParallelTrainer",
+    "TableParallelGrid",
+    "TableParallelTrainer",
+    "make_mesh",
+]

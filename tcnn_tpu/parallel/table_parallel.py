@@ -212,3 +212,193 @@ class TableParallelGrid:
         """Like :meth:`apply` but with the encoding's output padding /
         dtype (drop-in for ``encoding.apply`` in a composed model)."""
         return self.encoding._pad(self.apply(stacked_params, x))
+
+
+class TableParallelTrainer:
+    """Trains a configured model (grid encoding + network + loss +
+    optimizer, i.e. ``create_from_config`` output) with every grid
+    level's table row-sharded over a ``model`` mesh axis, composed with
+    batch data parallelism on an orthogonal ``data`` axis.
+
+    This is the integration layer the sharded lookup alone lacks: the
+    same :class:`~tcnn_tpu.trainer.Trainer` step semantics (loss-scale
+    plumbing, ``evaluate_sum_and_gradient`` fast path, tcnn-exact
+    optimizer update) over a 2-D mesh. The optimizer is split at the
+    ``[network | encoding]`` parameter boundary into two instances of
+    the configured type — exact, because every supported optimizer is
+    elementwise per-parameter with behavior keyed only on the
+    matrix/non-matrix boundary, and encoding params are non-matrix in
+    both framings (adam.h:78-95). The encoding optimizer's moment
+    arrays shard with the table rows, so optimizer memory scales down
+    with the tables — the point of model parallelism.
+
+    Checkpoint compatibility: :attr:`params` reassembles the reference
+    flat layout (host-side), so interchange snapshots stay byte-stable.
+
+    Scope: the grid's ``per_level`` execution path (the giant-table
+    regime this exists for); optimizer wrappers with custom inference
+    weights (EMA etc.) train correctly but :meth:`inference` serves the
+    live training params.
+    """
+
+    def __init__(
+        self,
+        trainer,
+        mesh: Mesh,
+        model_axis: str = "model",
+        data_axis: str = "data",
+    ):
+        from jax.sharding import NamedSharding
+
+        model = trainer.model
+        encoding = getattr(model, "encoding", None)
+        if not isinstance(encoding, GridEncoding):
+            raise TypeError(
+                "TableParallelTrainer requires a NetworkWithInputEncoding "
+                "with a grid encoding (got "
+                f"{type(encoding).__name__ if encoding else type(model).__name__})"
+            )
+        self.trainer = trainer
+        self.model = model
+        self.loss = trainer.loss
+        self.loss_scale = trainer.loss_scale
+        self.mesh = mesh
+        self.model_axis = model_axis
+        self.data_axis = data_axis
+        self.tpg = TableParallelGrid(
+            encoding, mesh, axis=model_axis, data_axis=data_axis
+        )
+
+        from ..optimizers import create_optimizer
+
+        n_net = model.network.n_params
+        self._n_net = n_net
+        hp = trainer.optimizer.hyperparams()
+        self.opt_net = create_optimizer(hp)
+        self.opt_net.allocate(n_net, model.layer_sizes())
+        n_stacked = self.tpg.n_shards * self.tpg.local_n_params
+        self._n_stacked = n_stacked
+        self.opt_enc = create_optimizer(hp)
+        self.opt_enc.allocate(n_stacked, [])
+
+        self._repl = NamedSharding(mesh, P())
+        self._mshard = NamedSharding(mesh, P(model_axis))
+        self._dshard = NamedSharding(mesh, P(data_axis, None))
+
+        flat = np.asarray(trainer.params, np.float32)
+        enc_stacked = self.tpg.shard_params(flat[n_net:])
+
+        def _enc_state_sharding(leaf):
+            # moment/momentum arrays mirror the stacked param vector and
+            # shard with it; scalars (step counters) replicate.
+            if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == n_stacked:
+                return self._mshard
+            return self._repl
+
+        opt_enc_state = self.opt_enc.init_state()
+        self._state_sharding = {
+            "net": self._repl,
+            "enc": self._mshard,
+            "opt_net": jax.tree_util.tree_map(
+                lambda _: self._repl, self.opt_net.init_state()
+            ),
+            "opt_enc": jax.tree_util.tree_map(
+                _enc_state_sharding, opt_enc_state
+            ),
+        }
+        self.state = {
+            "net": jax.device_put(jnp.asarray(flat[:n_net]), self._repl),
+            "enc": jax.device_put(jnp.asarray(enc_stacked), self._mshard),
+            "opt_net": jax.device_put(self.opt_net.init_state(), self._repl),
+            "opt_enc": jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, _enc_state_sharding(leaf)),
+                opt_enc_state,
+            ),
+        }
+        self._jit_step = jax.jit(
+            self._step_impl,
+            in_shardings=(
+                self._state_sharding,
+                self._dshard,
+                self._dshard,
+            ),
+            out_shardings=(self._state_sharding, self._repl),
+            donate_argnums=(0,),
+        )
+        self._jit_infer = None
+
+    # -- pure step ------------------------------------------------------------
+    def _forward(self, net_p, enc_stacked, x):
+        feats = self.tpg.padded_apply(enc_stacked, x)
+        return self.model.network.apply(net_p, feats)
+
+    def _step_impl(self, state, inputs, targets):
+        output, vjp = jax.vjp(
+            lambda net_p, enc_s: self._forward(net_p, enc_s, inputs),
+            state["net"],
+            state["enc"],
+        )
+        loss_sum, dL_dy = self.loss.evaluate_sum_and_gradient(
+            self.loss_scale, output, targets, None
+        )
+        g_net, g_enc = vjp(dL_dy)
+        opt_net_state, new_net = self.opt_net.step(
+            state["opt_net"], state["net"], g_net, self.loss_scale
+        )
+        opt_enc_state, new_enc = self.opt_enc.step(
+            state["opt_enc"], state["enc"], g_enc, self.loss_scale
+        )
+        return (
+            {
+                "net": new_net,
+                "enc": new_enc,
+                "opt_net": opt_net_state,
+                "opt_enc": opt_enc_state,
+            },
+            loss_sum,
+        )
+
+    # -- public API -------------------------------------------------------------
+    def training_step(self, inputs, targets) -> jnp.ndarray:
+        if inputs.shape[0] % int(self.mesh.shape[self.data_axis]) != 0:
+            raise ValueError(
+                f"batch {inputs.shape[0]} not divisible by data-parallel "
+                f"degree {self.mesh.shape[self.data_axis]}"
+            )
+        inputs = jax.device_put(inputs, self._dshard)
+        targets = jax.device_put(targets, self._dshard)
+        self.state, loss_value = self._jit_step(self.state, inputs, targets)
+        return loss_value
+
+    def inference(self, inputs) -> jnp.ndarray:
+        if self._jit_infer is None:
+            n_out = self.model.n_output_dims
+
+            def _infer(net_p, enc_s, x):
+                out = self._forward(net_p, enc_s, x)
+                return out[:, :n_out].astype(jnp.float32)
+
+            self._jit_infer = jax.jit(
+                _infer,
+                in_shardings=(self._repl, self._mshard, self._dshard),
+                out_shardings=self._dshard,
+            )
+        inputs = jax.device_put(inputs, self._dshard)
+        return self._jit_infer(self.state["net"], self.state["enc"], inputs)
+
+    @property
+    def params(self) -> np.ndarray:
+        """Reference flat layout ``[network | encoding]`` (host-side
+        assembly for checkpoints — object.h:74-80 offset contract)."""
+        return np.concatenate(
+            [
+                np.asarray(self.state["net"], np.float32),
+                self.tpg.unshard_params(np.asarray(self.state["enc"])),
+            ]
+        )
+
+    def sync_to_trainer(self):
+        """Write the sharded state's params back into the wrapped
+        single-device Trainer (checkpoint/serving handoff)."""
+        self.trainer.params = jnp.asarray(self.params)
+        return self.trainer

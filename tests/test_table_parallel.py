@@ -135,3 +135,78 @@ def test_table_parallel_composes_with_data_axis():
     np.testing.assert_allclose(
         np.asarray(w1), w - lr * np.asarray(gw0), rtol=1e-5, atol=1e-6
     )
+
+
+def test_table_parallel_trainer_end_to_end():
+    """VERDICT r4 item 7: a configured model (grid + MLP + loss +
+    optimizer from create_from_config) trains with table rows sharded on
+    a model axis composed with the data axis, matching the single-device
+    Trainer lockstep (losses + final params)."""
+    from tcnn_tpu.parallel import TableParallelTrainer
+
+    config = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2,
+                      "epsilon": 1e-15, "l2_reg": 1e-6},
+        "encoding": {
+            "otype": "HashGrid", "n_levels": 6, "n_features_per_level": 2,
+            "log2_hashmap_size": 9, "base_resolution": 3,
+            "per_level_scale": 1.9,  # default per_level gather path
+        },
+        "network": {"otype": "CutlassMLP", "n_neurons": 32,
+                    "n_hidden_layers": 1},
+    }
+    ref = tc.create_from_config(2, 3, config)
+    mp_model = tc.create_from_config(2, 3, config)
+    np.testing.assert_array_equal(
+        np.asarray(ref.trainer.params), np.asarray(mp_model.trainer.params)
+    )
+
+    mesh = _mesh((4, 2), ("data", "model"))
+    tpt = TableParallelTrainer(mp_model.trainer, mesh)
+
+    # round-trip of the initial state relayout
+    np.testing.assert_array_equal(
+        tpt.params, np.asarray(ref.trainer.params)
+    )
+
+    r = np.random.default_rng(7)
+    for i in range(5):
+        x = jnp.asarray(r.uniform(0, 1, (256, 2)), jnp.float32)
+        t = jnp.asarray(r.uniform(0, 1, (256, 3)), jnp.float32)
+        l_ref = float(ref.training_step(x, t))
+        l_tp = float(tpt.training_step(x, t))
+        np.testing.assert_allclose(l_tp, l_ref, rtol=5e-5, atol=1e-6,
+                                   err_msg=f"loss step {i}")
+
+    np.testing.assert_allclose(
+        tpt.params, np.asarray(ref.trainer.params), rtol=5e-4, atol=1e-6
+    )
+
+    # inference through the sharded stack matches the single-device model
+    x = jnp.asarray(r.uniform(0, 1, (128, 2)), jnp.float32)
+    y_tp = np.asarray(tpt.inference(x))
+    y_ref = np.asarray(ref.trainer.inference(x))
+    np.testing.assert_allclose(y_tp, y_ref, rtol=2e-4, atol=2e-5)
+
+    # handoff back to the single-device trainer (checkpoint/serving)
+    tpt.sync_to_trainer()
+    np.testing.assert_array_equal(
+        np.asarray(mp_model.trainer.params), tpt.params
+    )
+
+
+def test_table_parallel_trainer_rejects_non_grid():
+    from tcnn_tpu.parallel import TableParallelTrainer
+
+    config = {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "Adam"},
+        "encoding": {"otype": "Identity"},
+        "network": {"otype": "CutlassMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    }
+    m = tc.create_from_config(2, 2, config)
+    mesh = _mesh((4, 2), ("data", "model"))
+    with pytest.raises(TypeError, match="grid encoding"):
+        TableParallelTrainer(m.trainer, mesh)
