@@ -238,6 +238,16 @@ def build_parser():
         "assembly (encodings/grid.py _split_levels; round 4). Default "
         "'auto' (on); 'off' restores per-level flat-vector adjoints.",
     )
+    parser.add_argument(
+        "--reference-verbatim",
+        action="store_true",
+        help="Run /root/reference/data/config_hash.json EXACTLY as "
+        "shipped: the untouched JSON (CoherentPrime hash, no tcnn_tpu "
+        "extension knobs — the package's own defaults pick the "
+        "execution strategy) with iid uniform batches and no EMA — what "
+        "a drop-in reference user gets. Overrides sampler/ema/strategy "
+        "flags; metric name gains the _refverbatim suffix.",
+    )
     return parser
 
 
@@ -256,6 +266,31 @@ def build_config(args, sampler, ema, scatter=None):
         "epsilon": 1e-15,
         "l2_reg": 1e-6,
     }
+    if getattr(args, "reference_verbatim", False):
+        # data/config_hash.json byte-for-byte (comments/formatting aside):
+        # no hash/gather/scatter/quad-build/EMA knobs — the package's own
+        # config-layer defaults decide the execution strategy, exactly as
+        # they would for a drop-in reference user.
+        return {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": adam,
+            "encoding": {
+                "otype": "HashGrid",
+                "n_levels": 16,
+                "n_features_per_level": 2,
+                "log2_hashmap_size": 15,
+                "base_resolution": 16,
+                "per_level_scale": 1.5,
+                "fixed_point_pos": False,
+            },
+            "network": {
+                "otype": "FullyFusedMLP",
+                "activation": "ReLU",
+                "output_activation": "None",
+                "n_neurons": 64,
+                "n_hidden_layers": 2,
+            },
+        }
     return {
         "loss": {"otype": "RelativeL2"},
         "optimizer": (
@@ -523,6 +558,13 @@ def resolve_mode_defaults(args):
     (returned separately, not written to args.scatter_strategy) so it
     never leaks into the phase-locked secondary's program.
     """
+    if getattr(args, "reference_verbatim", False):
+        if args.protocol != "2d":
+            raise SystemExit("--reference-verbatim is the 2d protocol")
+        args.sampler = "iid"
+        args.ema = 0.0
+        args.log2_hashmap = 15
+        return True, None  # explicit sampler (no secondary A/B)
     explicit_sampler = args.sampler is not None
     if args.sampler is None:
         args.sampler = (
@@ -668,6 +710,8 @@ def main():
         if args.protocol == "2d"
         else "nerf3d_training_throughput_hashgrid16x2_ffmlp64x2_b2^18"
     )
+    if getattr(args, "reference_verbatim", False):
+        metric += "_refverbatim"
     result = {
         "metric": metric,
         "value": primary["samples_per_sec"],

@@ -784,6 +784,22 @@ class GridEncoding(Encoding):
         except NotImplementedError:  # vmap: no linear_call batching rule
             return p_fn((), fl)
 
+    def split_params(self, params):
+        """Flat (n_params,) -> tuple of per-level compact ``(size_l*F,)``
+        arrays (the ``level_params`` form of :meth:`apply`). Plain
+        slicing — use at state-construction/checkpoint boundaries, not
+        inside the step (that's what the structured state avoids)."""
+        F = self.n_features_per_level
+        off = self.offset_table
+        return tuple(
+            params[F * int(off[l]) : F * int(off[l + 1])]
+            for l in range(self.n_levels)
+        )
+
+    def join_params(self, level_arrays):
+        """Inverse of :meth:`split_params` (checkpoint/API boundary)."""
+        return jnp.concatenate([a.reshape(-1) for a in level_arrays])
+
     def _pack_k(self) -> int:
         """Cells per packed row: 128 / (2^d * F), or 0 when not packable."""
         slot = (2 ** self.n_dims_to_encode) * self.n_features_per_level
@@ -1348,7 +1364,18 @@ class GridEncoding(Encoding):
         """Encode positions.
 
         Args:
-          params: flat (n_params,) parameter slice.
+          params: flat (n_params,) parameter slice, OR a tuple of
+            per-level compact ``(size_l * F,)`` arrays (the
+            ``level_split`` partition carried as separate buffers). The
+            tuple form is the structured-state fast path: per-level
+            consumers read their own program input directly — no global
+            ``(N, F)`` view, no per-level slice, and the gradient comes
+            back as per-level arrays with no concatenation (see
+            ``split_params``/``Trainer(split_grid_state=True)``).
+            Supported on the per-level execution branch
+            (per_level/quad/stratified/phase-locked); the fused /
+            quad_fused global-gather strategies and raster serving
+            require the flat form.
           x: (batch, n_dims) positions, nominally in [0, 1]^d.
           served_tables: optional prebuilt quad tables from
             ``serving_tables`` (production serving: the per-call quad
@@ -1389,7 +1416,23 @@ class GridEncoding(Encoding):
             x = x.astype(jnp.float32)
         batch = x.shape[0]
 
-        table = params.reshape(-1, F)
+        level_params = None
+        if isinstance(params, (tuple, list)):
+            level_params = tuple(params)
+            if len(level_params) != L:
+                raise ValueError(
+                    f"level-split params: got {len(level_params)} arrays "
+                    f"for {L} levels"
+                )
+            if raster_side is not None:
+                raise ValueError(
+                    "level-split params: raster serving uses the flat "
+                    "form (frozen params — join_params once)"
+                )
+            params = None
+            table = None
+        else:
+            table = params.reshape(-1, F)
         n_corners = 1 if self.interpolation_type == InterpolationType.Nearest else 2**d
 
         # Per-level index/weight computation is cheap vectorized arithmetic;
@@ -1710,6 +1753,15 @@ class GridEncoding(Encoding):
                 )
             w_levels.append(weights)
 
+        if level_params is not None and self.gather_strategy in (
+            "quad_fused",
+            "fused",
+        ):
+            raise ValueError(
+                "level-split params require a per-level gather strategy "
+                f"(got {self.gather_strategy!r}, which gathers from one "
+                "global table)"
+            )
         if self.gather_strategy == "quad_fused" and all(
             i.ndim == 1 for i in idx_levels
         ):
@@ -1792,15 +1844,21 @@ class GridEncoding(Encoding):
             # the flat form (frozen params — no adjoint to optimize; and
             # served/separable levels would leave split outputs unused,
             # which higher-order autodiff can't tolerate).
-            lp = params
-            if (
-                getattr(self, "level_split", "auto") != "off"
-                and served_tables is None
-                and raster_sides is None
-            ):
-                split = self._split_levels(params)
-                if split is not None:
-                    lp = split
+            if level_params is not None:
+                # Structured state: the split already happened at the
+                # program boundary — each level's array IS its own input
+                # buffer (no in-graph slice, no concat adjoint).
+                lp = level_params
+            else:
+                lp = params
+                if (
+                    getattr(self, "level_split", "auto") != "off"
+                    and served_tables is None
+                    and raster_sides is None
+                ):
+                    split = self._split_levels(params)
+                    if split is not None:
+                        lp = split
             outs = []
             sep_blocks = []  # (F, B) channel-first blocks (level prefix)
             for lvl in range(L):
