@@ -239,6 +239,14 @@ def build_parser():
         "'auto' (on); 'off' restores per-level flat-vector adjoints.",
     )
     parser.add_argument(
+        "--split-state",
+        action="store_true",
+        help="Carry the grid's per-level tables as separate training-"
+        "state buffers (Trainer(split_grid_state=True)): no global "
+        "params view in the step. Bit-identical; measured 3D win "
+        "(65.4 vs 67.3 ms/step, probe_r5_state_split).",
+    )
+    parser.add_argument(
         "--reference-verbatim",
         action="store_true",
         help="Run /root/reference/data/config_hash.json EXACTLY as "
@@ -388,7 +396,8 @@ def measure_training(args, sampler, ema, image_np=None, scatter=None):
 
     n_dims = 2 if args.protocol == "2d" else 3
     model = tc.create_from_config(
-        n_dims, 3, build_config(args, sampler, ema, scatter)
+        n_dims, 3, build_config(args, sampler, ema, scatter),
+        split_grid_state=getattr(args, "split_state", False),
     )
     trainer = model.trainer
 

@@ -96,7 +96,8 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 out = fn(*xs)
-            _ = float(np.asarray(out).ravel()[0])
+            _ = float(out.ravel()[0])  # scalar sync — NEVER np.asarray
+            # (a full fetch over the tunnel costs ~ms and poisons timing)
             ms.append((time.perf_counter() - t0) / args.reps * 1e3)
         med = statistics.median(ms)
         print(
@@ -166,8 +167,9 @@ def main():
         @jax.jit
         def load_only(t, i):
             return pl.pallas_call(
-                k1, grid_spec=sp_spec(out_shape=(1, F)), interpret=INTERP,
-                out_shape=jax.ShapeDtypeStruct((n_tiles, F), jnp.float32),
+                k1, grid_spec=sp_spec(out_shape=(8, F)), interpret=INTERP,
+                out_shape=jax.ShapeDtypeStruct((n_tiles * 8, F),
+                                               jnp.float32),
             )(i, t)
 
         timeit(load_only, table, idx, tag="C1 load_only")
@@ -266,8 +268,12 @@ def main():
                     inb = (local >= 0) & (local < 128)
                     li = jnp.where(inb, local, 0)
                     for f in range(F):
-                        row = blk[f, :]  # (128,)
-                        g = jnp.take(row, li, axis=0)  # (R8, 128)
+                        # 2D in-vreg lane gather (tpu.dynamic_gather):
+                        # out[r, l] = row[li[r, l]].
+                        row2 = jnp.broadcast_to(
+                            blk[f, :][None, :], li.shape
+                        )
+                        g = jnp.take_along_axis(row2, li, axis=1)
                         acc = acc.at[:, :, f].set(
                             jnp.where(inb, g, acc[:, :, f])
                         )

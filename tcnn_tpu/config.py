@@ -102,6 +102,7 @@ def create_from_config(
     config: Dict,
     seed: int = 1337,
     precision=None,
+    split_grid_state: bool = False,
 ) -> TrainableModel:
     loss = create_loss(config.get("loss", {}))
     optimizer = create_optimizer(config.get("optimizer", {}))
@@ -112,7 +113,10 @@ def create_from_config(
         network_config=config.get("network", {}),
         precision=precision,
     )
-    trainer = Trainer(model, optimizer, loss, seed=seed)
+    trainer = Trainer(
+        model, optimizer, loss, seed=seed,
+        split_grid_state=split_grid_state,
+    )
     return TrainableModel(
         model=model, trainer=trainer, loss=loss, optimizer=optimizer
     )

@@ -337,7 +337,7 @@ def serialize_trainer(trainer, serialize_optimizer_state: bool = False) -> Dict:
     }
     if serialize_optimizer_state:
         data["optimizer"] = serialize_optimizer(
-            trainer.optimizer, trainer.state["opt"]
+            trainer.optimizer, trainer._opt_state_flat()
         )
     return data
 
@@ -361,8 +361,11 @@ def deserialize_trainer(trainer, data: Dict) -> None:
             f"checkpoint has {n} params ({params.size} in blob), model has "
             f"{trainer.n_params}"
         )
-    trainer.state["params"] = jnp.asarray(params)
+    trainer.params = jnp.asarray(params)
     if "optimizer" in data:
-        trainer.state["opt"] = deserialize_optimizer(
-            trainer.optimizer, trainer.state["opt"], data["optimizer"]
+        trainer._set_opt_state_flat(
+            deserialize_optimizer(
+                trainer.optimizer, trainer._opt_state_flat(),
+                data["optimizer"],
+            )
         )

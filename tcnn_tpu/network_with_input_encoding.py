@@ -86,6 +86,12 @@ class NetworkWithInputEncoding:
         )
 
     def _split(self, params):
+        if isinstance(params, dict):
+            # Structured (split-grid-state) params: the network part and
+            # the per-level encoding arrays are separate buffers — no
+            # in-graph slicing of a global vector
+            # (Trainer(split_grid_state=True)).
+            return params["net"], params["levels"]
         n_net = self.network.n_params
         return params[:n_net], params[n_net:]
 
