@@ -45,6 +45,31 @@ def bench_one(width: int, batch: int, iters: int, method: str, train: bool):
         np.random.default_rng(0).standard_normal((batch, width)), jnp.bfloat16
     )
 
+    if method == "fully_fused_packed":
+        # Packed-I/O serving layout (G = 128/width samples per 128-lane
+        # row — a layout-free reshape of compact host data; see
+        # ops/ffmlp.mlp_forward_pallas_packed). Inference only; width
+        # 128 has no packing (G=1) and is skipped by the caller.
+        G = 128 // width
+        xp = jnp.asarray(
+            np.random.default_rng(0)
+            .standard_normal((batch, width))
+            .reshape(batch // G, G * width),
+            jnp.bfloat16,
+        )
+        fn = jax.jit(net.apply_packed)
+
+        def sync(o):
+            return float(jnp.asarray(o).ravel()[0])
+
+        out = fn(params, xp)
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params, xp)
+        sync(out)
+        return batch * iters / (time.perf_counter() - t0)
+
     if train:
         @jax.jit
         def fn(p, x):
@@ -78,8 +103,14 @@ def main():
 
     results = []
     for width in args.widths:
-        for method in ("fully_fused", "fully_fused_cf", "xla"):
-            for train in (False, True):
+        methods = ["fully_fused", "fully_fused_cf", "xla"]
+        if width < 128:
+            methods.append("fully_fused_packed")
+        for method in methods:
+            modes = (False,) if method == "fully_fused_packed" else (
+                False, True,
+            )
+            for train in modes:
                 tput = bench_one(width, args.batch, args.iters, method, train)
                 entry = {
                     "width": width,

@@ -118,6 +118,22 @@ def main():
         "C": ("C quad_fused", {"gather_strategy": "quad_fused"}),
         "D": ("D quad+xla_half", {"gather_strategy": "quad",
                                   "scatter_strategy": "xla_half"}),
+        # The auto-select candidates (hash unspecified in the reference
+        # config -> the package may choose): additive hash unlocks the
+        # quad-row corner trick on every hashed level.
+        "E": ("E additive+quad", {"hash": "CoherentAdditive",
+                                  "gather_strategy": "quad"}),
+        "F": ("F additive+quad_fused", {"hash": "CoherentAdditive",
+                                        "gather_strategy": "quad_fused"}),
+        "G": ("G additive+per_level", {"hash": "CoherentAdditive"}),
+        # SR scatter: same precision class as the reference's own
+        # half-atomic scatter (grid.h:660-671) — one matmul instead of
+        # the compensated pair.
+        "H": ("H quad+factored_sr", {"gather_strategy": "quad",
+                                     "scatter_strategy": "factored_sr"}),
+        "I": ("I additive+quad+factored_sr",
+              {"hash": "CoherentAdditive", "gather_strategy": "quad",
+               "scatter_strategy": "factored_sr"}),
     }
     want = set(args.only.split(",")) if args.only else None
     for k, (tag, extra) in cases.items():

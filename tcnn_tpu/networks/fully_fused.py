@@ -107,6 +107,25 @@ class FullyFusedMLP(MLP):
         self._use_pallas = bool(value)
         self._use_pallas_forced = True
 
+    def apply_packed(self, params, x_packed):
+        """Packed-I/O serving path (inference only): ``x_packed`` is
+        ``(batch/G, 128)`` with G = 128/input_width samples per row —
+        the layout-free reshape of a compact row-major batch. Returns
+        ``(batch/G, G*padded_output_width)``; reshape to ``(batch,
+        padded_output_width)`` to unpack. The serving-only analogue of
+        the reference's INFERENCE=true kernel specialization
+        (src/fully_fused_mlp.cu:682-706) — avoids the 128/width lane
+        padding that floors narrow-width inference I/O (ops/ffmlp.
+        mlp_forward_pallas_packed)."""
+        from ..ops.ffmlp import mlp_forward_pallas_packed
+
+        dt = self.compute_dtype
+        weights_t = tuple(w.astype(dt).T for w in self._weights(params))
+        return mlp_forward_pallas_packed(
+            x_packed.astype(dt), weights_t, self.activation,
+            self.output_activation,
+        )
+
     def apply(self, params, x):
         use_pallas = self._use_pallas
         if _in_inference_mode() and not self._use_pallas_forced:

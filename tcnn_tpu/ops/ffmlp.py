@@ -372,6 +372,138 @@ def mlp_forward_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Packed-I/O inference kernel
+# ---------------------------------------------------------------------------
+
+
+def packed_group(in_width: int, weights_t) -> int:
+    """Samples per 128-lane row for the packed-I/O inference path: G =
+    128/in_width when the MLP is narrow-uniform (hidden width == in_width,
+    both dividing 128). 1 means packing does not apply."""
+    w = weights_t[0].shape[1] if weights_t else 0
+    if in_width >= 128 or in_width <= 0 or 128 % in_width != 0:
+        return 1
+    if w != in_width or any(wt.shape[1] != w for wt in weights_t[:-1]):
+        return 1
+    return 128 // in_width
+
+
+def _mlp_kernel_packed(x_ref, *refs, activation: Activation,
+                       output_activation: Activation, n_layers: int,
+                       out_dtype, G: int):
+    """Packed-I/O forward: the block holds G samples per 128-lane row
+    (sample r*G+k at lanes [k*w, (k+1)*w)). Every layer runs with
+    G-block-diagonal weights, so every matmul contracts a full 128 and —
+    the point — the input/output HBM DMAs move NO padding bytes. This is
+    the TPU analogue of the reference's INFERENCE=true kernel
+    specialization (src/fully_fused_mlp.cu:682-706): same weights, a
+    serving-only execution strategy. Inference only (no vjp)."""
+    w_refs = refs[:n_layers]
+    out_ref = refs[n_layers]
+    x = x_ref[...]  # (tile_b, 128): G packed samples per row
+    wbd0 = _kernel_block_diag(w_refs[0][...], G)
+    # Layer 0 contracts the packed lanes -> CF slab form (G*w, tile_b):
+    # sublane block k holds sample-slab k's hidden units.
+    h = activation_fn(_dg(wbd0, 0, x, 1), activation).astype(x.dtype)
+    for i in range(1, n_layers - 1):
+        wbd = _kernel_block_diag(w_refs[i][...], G)
+        h = activation_fn(_dg(wbd, 0, h, 0), activation).astype(x.dtype)
+    wbdl = _kernel_block_diag(w_refs[n_layers - 1][...], G)
+    z = _dg(h, 0, wbdl, 0)  # (tile_b, G*out_p) packed
+    out_ref[...] = activation_fn(z, output_activation).astype(out_dtype)
+
+
+def mlp_forward_pallas_packed(
+    x_packed: jnp.ndarray,
+    weights_t: Sequence[jnp.ndarray],
+    activation: Activation,
+    output_activation: Activation,
+    tile_b: int = DEFAULT_TILE_B,
+) -> jnp.ndarray:
+    """Packed-I/O fused inference.
+
+    Args:
+      x_packed: (batch/G, 128) in the compute dtype, G = 128/in_width
+        samples per row — row r lane k*in_width+j holds ``x[r*G+k, j]``
+        (i.e. exactly ``x.reshape(batch/G, 128)`` of a COMPACT row-major
+        (batch, in_width) array; pack on host for free, or keep serving
+        buffers in this layout end-to-end).
+
+    Returns (batch/G, G*out_width): row r lanes [k*out_width,
+    (k+1)*out_width) hold sample r*G+k's outputs — ``reshape(batch,
+    out_width)`` to unpack (again layout-free on compact data).
+
+    Rationale (measured, v5e): a (N, w<128) array pads its minor dim to
+    128 lanes in HBM, so the standard kernel's I/O moves 128/w x the
+    useful bytes and inference at widths 16-64 floors at ~360 M rows/s.
+    Packed I/O moves only real bytes; every matmul is a full-128 MXU
+    pass against block-diagonal weights.
+    """
+    if len(x_packed.shape) != 2 or x_packed.shape[1] != 128:
+        raise ValueError(
+            f"x_packed must be (batch/G, 128), got {x_packed.shape}"
+        )
+    n_layers = len(weights_t)
+    in_width = weights_t[0].shape[0]
+    G = packed_group(in_width, weights_t)
+    if G <= 1:
+        raise ValueError(
+            "packed path needs a narrow uniform MLP (in/hidden width "
+            f"dividing 128); got in={in_width}, "
+            f"widths={[w.shape[1] for w in weights_t]}"
+        )
+    out_width = weights_t[-1].shape[1]
+    dtype = x_packed.dtype
+    rows = x_packed.shape[0]
+
+    tile_b = min(tile_b, max(128, rows))
+    padded_rows = cdiv(rows, tile_b) * tile_b
+    if padded_rows != rows:
+        x_packed = jnp.pad(x_packed, ((0, padded_rows - rows), (0, 0)))
+
+    kernel = functools.partial(
+        _mlp_kernel_packed,
+        activation=activation,
+        output_activation=output_activation,
+        n_layers=n_layers,
+        out_dtype=dtype,
+        G=G,
+    )
+    in_specs = [
+        pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    for w in weights_t:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    flops_per_row = 2 * G * sum(a.shape[0] * a.shape[1] for a in weights_t)
+    out = pl.pallas_call(
+        kernel,
+        grid=(padded_rows // tile_b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile_b, G * out_width), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_rows, G * out_width), dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * padded_rows,
+            bytes_accessed=padded_rows * (128 + G * out_width) * 2
+            + sum(a.size for a in weights_t) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(x_packed, *weights_t)
+    if padded_rows != rows:
+        out = out[:rows]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Fused backward kernel
 # ---------------------------------------------------------------------------
 

@@ -111,6 +111,26 @@ def test_split_state_hyperparam_update_applies_to_leaves():
         )
 
 
+def test_split_state_data_parallel():
+    """The DP wrapper maps shardings over the state pytree generically —
+    the split form must ride through it and match the flat DP run."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from tcnn_tpu.parallel import DataParallelTrainer, make_mesh
+
+    flat = tc.create_from_config(2, 3, CONFIG)
+    split = tc.create_from_config(2, 3, CONFIG, split_grid_state=True)
+    dp_a = DataParallelTrainer(flat.trainer, make_mesh(jax.devices()))
+    dp_b = DataParallelTrainer(split.trainer, make_mesh(jax.devices()))
+    for x, t in _batches(4):
+        la = float(dp_a.training_step(x, t))
+        lb = float(dp_b.training_step(x, t))
+        assert la == lb
+    np.testing.assert_array_equal(
+        np.asarray(flat.trainer.params), np.asarray(split.trainer.params)
+    )
+
+
 def test_split_state_rejects_unsupported():
     cfg = dict(CONFIG, optimizer={"otype": "Shampoo"})
     with pytest.raises(ValueError, match="does not support optimizer"):
