@@ -240,11 +240,13 @@ def build_parser():
     )
     parser.add_argument(
         "--split-state",
-        action="store_true",
+        choices=["auto", "on", "off"],
+        default="auto",
         help="Carry the grid's per-level tables as separate training-"
         "state buffers (Trainer(split_grid_state=True)): no global "
-        "params view in the step. Bit-identical; measured 3D win "
-        "(65.4 vs 67.3 ms/step, probe_r5_state_split).",
+        "params view in the step. Bit-identical. 'auto' = on for the "
+        "3d protocol (driver-command capture 65.78 vs 67.2 ms/step, "
+        "_r5q8_bench_3d_split.json), off for 2d (measured neutral).",
     )
     parser.add_argument(
         "--reference-verbatim",
@@ -397,7 +399,7 @@ def measure_training(args, sampler, ema, image_np=None, scatter=None):
     n_dims = 2 if args.protocol == "2d" else 3
     model = tc.create_from_config(
         n_dims, 3, build_config(args, sampler, ema, scatter),
-        split_grid_state=getattr(args, "split_state", False),
+        split_grid_state=resolve_split_state(args),
     )
     trainer = model.trainer
 
@@ -546,6 +548,15 @@ def measure_training(args, sampler, ema, image_np=None, scatter=None):
         "samples_per_sec": round(args.batch / median_ms * 1e3, 1),
         "final_loss": float(loss),
     }
+
+
+def resolve_split_state(args) -> bool:
+    """'auto' = split state on for the 3d protocol (65.78 vs 67.2
+    ms/step, driver-command capture), off for 2d (neutral)."""
+    mode = getattr(args, "split_state", "auto")
+    if mode == "auto":
+        return args.protocol == "3d"
+    return mode == "on"
 
 
 def resolve_mode_defaults(args):

@@ -258,10 +258,14 @@ def main():
             # (lowers to tpu.dynamic_gather within a vreg), select where
             # the index falls in this block. O(S2/128 * F) vector ops per
             # (TILE//128, 128) index block.
+            R8 = TILE // 128
+
             def k5b(i_ref, tt_ref, o_ref):
-                idxv = i_ref[...]  # (R8, 128) i32, R8 = TILE//128 rows
-                R8 = idxv.shape[0]
-                acc = jnp.zeros((R8, 128, F), jnp.float32)
+                idxv = i_ref[...]  # (R8, 128) i32
+                # Per-feature accumulators as separate arrays (static
+                # python indexing — .at[].set would lower to an
+                # unsupported in-kernel scatter).
+                accs = [jnp.zeros((R8, 128), jnp.float32)] * F
                 for b in range(n_blocks):
                     blk = tt_ref[:, b * 128 : (b + 1) * 128]  # (F, 128)
                     local = idxv - b * 128
@@ -274,12 +278,12 @@ def main():
                             blk[f, :][None, :], li.shape
                         )
                         g = jnp.take_along_axis(row2, li, axis=1)
-                        acc = acc.at[:, :, f].set(
-                            jnp.where(inb, g, acc[:, :, f])
-                        )
-                o_ref[...] = acc.reshape(R8 * 128, F)
-
-            R8 = TILE // 128
+                        accs[f] = jnp.where(inb, g, accs[f])
+                # Feature-major output planes (static slices, no
+                # in-kernel reshape): out[f*R8 + r, l] = feature f of
+                # sample r*128 + l.
+                for f in range(F):
+                    o_ref[f * R8 : (f + 1) * R8, :] = accs[f]
 
             @jax.jit
             def dyn_sel(tt, ii):
@@ -293,15 +297,24 @@ def main():
                                      memory_space=pltpu.VMEM),
                     ],
                     out_specs=pl.BlockSpec(
-                        (TILE, F), lambda g: (g, 0),
+                        (F * R8, 128), lambda g: (g, 0),
                         memory_space=pltpu.VMEM,
                     ),
-                    out_shape=jax.ShapeDtypeStruct((B, F), jnp.float32),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (n_tiles * F * R8, 128), jnp.float32
+                    ),
                     interpret=INTERP,
                 )(ii.reshape(B // 128, 128), tt)
 
+            # expected in the plane layout: tile t, feature f, row r,
+            # lane l <-> sample t*TILE + r*128 + l.
+            exp5 = (
+                exp2.reshape(n_tiles, R8, 128, F)
+                .transpose(0, 3, 1, 2)
+                .reshape(n_tiles * F * R8, 128)
+            )
             timeit(dyn_sel, t_t, idx2,
-                   tag=f"C5 dyngather_sel_S2^{logS2}", check=exp2)
+                   tag=f"C5 dyngather_sel_S2^{logS2}", check=exp5)
 
     # ---- C6: one-hot MXU gather (small table) ----
     if sel("onehot_mxu"):

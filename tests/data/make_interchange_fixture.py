@@ -42,6 +42,10 @@ FIXTURE_CONFIG = {
         "log2_hashmap_size": 4,
         "base_resolution": 2,
         "per_level_scale": 2.0,
+        # The fixture freezes REFERENCE-written checkpoint semantics:
+        # pin the reference's default hash (the package default is
+        # "auto" = CoherentAdditive since round 5).
+        "hash": "CoherentPrime",
     },
     "network": {
         "otype": "CutlassMLP",
