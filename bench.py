@@ -552,10 +552,14 @@ def measure_training(args, sampler, ema, image_np=None, scatter=None):
 
 def resolve_split_state(args) -> bool:
     """'auto' = split state on for the 3d protocol (65.78 vs 67.2
-    ms/step, driver-command capture), off for 2d (neutral)."""
+    ms/step, driver-command capture), off for 2d (neutral) — and off
+    whenever the gather strategy is a global-table one (fused/
+    quad_fused), which the split state cannot express."""
     mode = getattr(args, "split_state", "auto")
     if mode == "auto":
-        return args.protocol == "3d"
+        return args.protocol == "3d" and getattr(
+            args, "gather_strategy", None
+        ) not in ("fused", "quad_fused")
     return mode == "on"
 
 

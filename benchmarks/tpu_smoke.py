@@ -205,6 +205,66 @@ def _csr_precision_case():
         assert rel < tol, f"csr {rounding}: rel {rel:.2e} >= {tol}"
 
 
+def _packed_inference_case():
+    """Packed-I/O FFMLP inference (round 5): the (B/G, 128) serving
+    kernel matches the standard apply on-device (Mosaic-facing side of
+    tests/test_ffmlp_packed)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from tcnn_tpu.networks import FullyFusedMLP
+    from tcnn_tpu.rng import make_rng
+
+    net = FullyFusedMLP(input_width=32, output_width=3, n_neurons=32,
+                        n_hidden_layers=2)
+    params = jnp.asarray(net.initialize_params(make_rng(7)))
+    B, G = 2048, 4
+    x = np.random.default_rng(0).uniform(-1, 1, (B, 32)).astype(np.float32)
+    ref = np.asarray(jax.jit(net.apply)(params, jnp.asarray(x)),
+                     np.float32)
+    out = np.asarray(
+        jax.jit(net.apply_packed)(
+            params, jnp.asarray(x.reshape(B // G, 128))
+        ),
+        np.float32,
+    ).reshape(B, net.padded_output_width)
+    err = np.abs(out - ref).max()
+    assert err < 5e-2, f"packed mismatch: {err}"
+
+
+def _split_state_case():
+    """Structured (split-grid) training state (round 5): two steps match
+    the flat-state trainer bitwise on-device."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    cfg = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "EMA", "decay": 0.95,
+                      "nested": {"otype": "Adam"}},
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "log2_hashmap_size": 10, "base_resolution": 4,
+                     "hash": "CoherentAdditive",
+                     "gather_strategy": "quad"},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 32,
+                    "n_hidden_layers": 1},
+    }
+    flat = tc.create_from_config(2, 3, cfg, seed=3)
+    split = tc.create_from_config(2, 3, cfg, seed=3,
+                                  split_grid_state=True)
+    r = np.random.default_rng(0)
+    for _ in range(2):
+        x = jnp.asarray(r.uniform(0, 1, (1024, 2)).astype(np.float32))
+        t = jnp.asarray(r.uniform(0, 1, (1024, 3)).astype(np.float32))
+        la = float(flat.trainer.training_step(x, t))
+        lb = float(split.trainer.training_step(x, t))
+        assert la == lb, f"split-state loss divergence: {la} vs {lb}"
+    pa = np.asarray(flat.trainer.params)
+    pb = np.asarray(split.trainer.params)
+    assert np.array_equal(pa, pb), "split-state params diverged"
+
+
 def _eikonal_case():
     """Second-order (grad∘grad) compiles and descends on-device through
     the fast paths — the Mosaic-facing side of tests/test_second_order."""
@@ -351,6 +411,8 @@ def main():
     for cname, fn in (
         ("eikonal_second_order", _eikonal_case),
         ("csr_precision", _csr_precision_case),
+        ("packed_inference", _packed_inference_case),
+        ("split_state", _split_state_case),
     ):
         try:
             t0 = time.time()

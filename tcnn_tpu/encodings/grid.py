@@ -2250,6 +2250,13 @@ def create_grid_encoding(n_dims_to_encode: int, encoding: dict) -> GridEncoding:
         n_features_per_level=n_features_per_level,
         fixed_point_pos=json_value(encoding, "fixed_point_pos", False),
     )
+    # Checkpoint-load guard: deserialize warns when params land in a
+    # model whose hash was auto-picked (a reference-trained checkpoint
+    # under the reference's default hash needs "hash": "CoherentPrime").
+    enc.hash_auto_resolved = (
+        json_value(encoding, "hash", "auto").lower() == "auto"
+        and grid_type == GridType.Hash
+    )
     # tcnn_tpu extension: TPU gather strategy ("auto" | "per_level" |
     # "fused" | "quad" | "quad_fused" | "stratified"); see PLAN.md.
     # "auto" (the default) resolves to the quad-table gather for linear

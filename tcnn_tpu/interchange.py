@@ -361,6 +361,17 @@ def deserialize_trainer(trainer, data: Dict) -> None:
             f"checkpoint has {n} params ({params.size} in blob), model has "
             f"{trainer.n_params}"
         )
+    enc = getattr(trainer.model, "encoding", None)
+    if getattr(enc, "hash_auto_resolved", False):
+        from .utils.log import log_warning
+
+        log_warning(
+            "deserialize: this model's grid hash was auto-selected "
+            "(CoherentAdditive). If the checkpoint was trained by the "
+            "reference under ITS default hash, rebuild the model with "
+            "\"hash\": \"CoherentPrime\" — otherwise the hashed levels "
+            "index differently and outputs will be garbage."
+        )
     trainer.params = jnp.asarray(params)
     if "optimizer" in data:
         trainer._set_opt_state_flat(

@@ -401,6 +401,12 @@ def _mlp_kernel_packed(x_ref, *refs, activation: Activation,
     w_refs = refs[:n_layers]
     out_ref = refs[n_layers]
     x = x_ref[...]  # (tile_b, 128): G packed samples per row
+    if n_layers == 1:
+        # Single matmul: packed lanes in, packed lanes out.
+        wbd = _kernel_block_diag(w_refs[0][...], G)
+        z = _dg(x, 1, wbd, 0)  # (tile_b, G*out_p)
+        out_ref[...] = activation_fn(z, output_activation).astype(out_dtype)
+        return
     wbd0 = _kernel_block_diag(w_refs[0][...], G)
     # Layer 0 contracts the packed lanes -> CF slab form (G*w, tile_b):
     # sublane block k holds sample-slab k's hidden units.

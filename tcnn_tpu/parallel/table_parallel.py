@@ -398,7 +398,71 @@ class TableParallelTrainer:
         )
 
     def sync_to_trainer(self):
-        """Write the sharded state's params back into the wrapped
-        single-device Trainer (checkpoint/serving handoff)."""
+        """Write the sharded state — params AND optimizer state — back
+        into the wrapped single-device Trainer (checkpoint/serving
+        handoff). Without the optimizer sync, an EMA/Average-wrapped
+        optimizer's inference weights would serialize from the wrapped
+        trainer's untouched INIT state (zeros)."""
         self.trainer.params = jnp.asarray(self.params)
+        n_net = self._n_net
+        n_stacked = self._n_stacked
+
+        def join(net_leaf, enc_leaf):
+            a = np.asarray(net_leaf)
+            b = np.asarray(enc_leaf)
+            if (
+                a.ndim >= 1 and a.shape[-1] == n_net
+                and b.ndim == a.ndim and b.shape[-1] == n_stacked
+            ):
+                # Per-weight arrays: [network part | unsharded encoding
+                # part] in the flat layout (unshard per leading row;
+                # integer counters round-trip f32 exactly).
+                if a.ndim == 1:
+                    enc_flat = self.tpg.unshard_params(b).astype(b.dtype)
+                    return jnp.asarray(np.concatenate([a, enc_flat]))
+                rows = np.stack(
+                    [
+                        self.tpg.unshard_params(b[i]).astype(b.dtype)
+                        for i in range(b.shape[0])
+                    ]
+                )
+                return jnp.asarray(np.concatenate([a, rows], axis=-1))
+            return jnp.asarray(a)  # scalars (lockstep counters)
+
+        self.trainer.state["opt"] = jax.tree_util.tree_map(
+            join, self.state["opt_net"], self.state["opt_enc"]
+        )
         return self.trainer
+
+    # -- hyperparams ----------------------------------------------------------
+    def _rejit(self):
+        self._jit_step = jax.jit(
+            self._step_impl,
+            in_shardings=(
+                self._state_sharding, self._dshard, self._dshard,
+            ),
+            out_shardings=(self._state_sharding, self._repl),
+            donate_argnums=(0,),
+        )
+        self._jit_infer = None
+
+    @property
+    def learning_rate(self) -> float:
+        return self.opt_net.learning_rate
+
+    @learning_rate.setter
+    def learning_rate(self, value: float):
+        # Keep the wrapped trainer AND the sharded per-part optimizers in
+        # sync (the jitted step bakes hyperparams in; re-trace).
+        self.trainer.learning_rate = value
+        self.opt_net.learning_rate = value
+        self.opt_enc.learning_rate = value
+        self._rejit()
+
+    def update_hyperparams(self, params):
+        self.trainer.update_hyperparams(params)
+        opt_hp = params.get("optimizer", {})
+        if opt_hp:
+            self.opt_net.update_hyperparams(opt_hp)
+            self.opt_enc.update_hyperparams(opt_hp)
+        self._rejit()

@@ -566,12 +566,16 @@ class Trainer:
         n = self.model.n_params
 
         def join(*xs):
+            # Per-weight arrays carry the weight count in their LAST axis
+            # (1-D moments; Average's (n_samples, n) sample ring): same
+            # leading dims, last dims summing to n -> concat on -1.
             x0 = xs[0]
             if (
                 hasattr(x0, "ndim") and x0.ndim >= 1
-                and sum(int(np.prod(x.shape)) for x in xs) == n
+                and all(x.shape[:-1] == x0.shape[:-1] for x in xs)
+                and sum(int(x.shape[-1]) for x in xs) == n
             ):
-                return jnp.concatenate([x.reshape(-1) for x in xs])
+                return jnp.concatenate(xs, axis=-1)
             return x0
 
         return jax.tree_util.tree_map(join, *leaves)
@@ -588,8 +592,11 @@ class Trainer:
 
         def split_leaf(i):
             def pick(x):
-                if hasattr(x, "ndim") and x.ndim >= 1 and x.size == n:
-                    return jnp.asarray(x)[bounds[i] : bounds[i + 1]]
+                if (
+                    hasattr(x, "ndim") and x.ndim >= 1
+                    and x.shape[-1] == n
+                ):
+                    return jnp.asarray(x)[..., bounds[i] : bounds[i + 1]]
                 return x
 
             return jax.tree_util.tree_map(pick, flat_state)

@@ -63,6 +63,23 @@ def test_explicit_flags_win():
     assert scatter == "auto"  # the fp32-exact pair mode
 
 
+def test_split_state_auto_respects_fused_gather():
+    import bench
+
+    p = bench.build_parser()
+    assert bench.resolve_split_state(p.parse_args(["--protocol", "3d"]))
+    assert not bench.resolve_split_state(p.parse_args([]))
+    # fused/quad_fused gather strategies can't express the split state:
+    # auto must fall back to off instead of crashing at construction.
+    assert not bench.resolve_split_state(
+        p.parse_args(["--protocol", "3d", "--gather-strategy",
+                      "quad_fused"])
+    )
+    assert not bench.resolve_split_state(
+        p.parse_args(["--protocol", "3d", "--split-state", "off"])
+    )
+
+
 def test_iid_has_no_ema():
     args, _, _ = resolve(["--sampler", "iid"])
     assert args.ema == 0.0

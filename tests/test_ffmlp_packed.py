@@ -37,6 +37,26 @@ def test_packed_matches_apply(width, out_dims):
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
 
 
+def test_packed_zero_hidden_layers():
+    """n_hidden_layers=0 (single matmul): the packed kernel must apply
+    the one weight matrix exactly once."""
+    net = FullyFusedMLP(
+        input_width=16, output_width=16, n_neurons=16, n_hidden_layers=0
+    )
+    r = np.random.default_rng(3)
+    params = jnp.asarray(
+        r.standard_normal(net.n_params).astype(np.float32) * 0.3
+    )
+    B = 512
+    x = r.uniform(-1, 1, (B, 16)).astype(np.float32)
+    ref = np.asarray(net.apply(params, jnp.asarray(x)), np.float32)
+    out = np.asarray(
+        net.apply_packed(params, jnp.asarray(x.reshape(B // 8, 128))),
+        np.float32,
+    ).reshape(B, net.padded_output_width)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-3)
+
+
 def test_packed_rejects_unsupported():
     net = FullyFusedMLP(
         input_width=128, output_width=3, n_neurons=128, n_hidden_layers=2

@@ -98,6 +98,34 @@ def test_split_state_bitwise_parity_and_checkpoint():
     )
 
 
+def test_split_state_average_wrapper_checkpoint_parity():
+    """The Average wrapper's (n_samples, n) sample ring exercises the
+    multi-dim per-weight join/split of the flat<->split opt-state
+    bridge."""
+    cfg = dict(
+        CONFIG,
+        optimizer={"otype": "Average", "n_samples": 4,
+                   "nested": {"otype": "Adam", "learning_rate": 1e-2}},
+    )
+    flat = tc.create_from_config(2, 3, cfg)
+    split = tc.create_from_config(2, 3, cfg, split_grid_state=True)
+    for x, t in _batches(6):
+        la = float(flat.trainer.training_step(x, t))
+        lb = float(split.trainer.training_step(x, t))
+        assert la == lb
+    blob_a = flat.trainer.serialize(serialize_optimizer=True)
+    blob_b = split.trainer.serialize(serialize_optimizer=True)
+    assert json.dumps(blob_a, sort_keys=True) == json.dumps(
+        blob_b, sort_keys=True
+    )
+    fresh = tc.create_from_config(2, 3, cfg, split_grid_state=True)
+    fresh.trainer.deserialize(blob_a)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.trainer.inference_params()),
+        np.asarray(flat.trainer.inference_params()),
+    )
+
+
 def test_split_state_hyperparam_update_applies_to_leaves():
     split = tc.create_from_config(2, 3, CONFIG, split_grid_state=True)
     flat = tc.create_from_config(2, 3, CONFIG)
@@ -129,6 +157,33 @@ def test_split_state_data_parallel():
     np.testing.assert_array_equal(
         np.asarray(flat.trainer.params), np.asarray(split.trainer.params)
     )
+
+
+def test_deserialize_warns_on_auto_hash():
+    """Loading a checkpoint into a model whose grid hash was
+    auto-selected warns (a reference-trained default-hash checkpoint
+    needs \"hash\": \"CoherentPrime\"); pinning the hash silences it."""
+    from tcnn_tpu.utils.log import set_log_callback
+
+    msgs = []
+    set_log_callback(lambda sev, msg: msgs.append((sev, msg)))
+    try:
+        auto = tc.create_from_config(2, 3, CONFIG)
+        blob = auto.trainer.serialize()
+        msgs.clear()
+        auto.trainer.deserialize(blob)
+        assert any("CoherentPrime" in m for _, m in msgs)
+
+        pinned_cfg = dict(
+            CONFIG,
+            encoding={**CONFIG["encoding"], "hash": "CoherentAdditive"},
+        )
+        pinned = tc.create_from_config(2, 3, pinned_cfg)
+        msgs.clear()
+        pinned.trainer.deserialize(pinned.trainer.serialize())
+        assert not any("CoherentPrime" in m for _, m in msgs)
+    finally:
+        set_log_callback(None)
 
 
 def test_split_state_rejects_unsupported():

@@ -196,6 +196,65 @@ def test_table_parallel_trainer_end_to_end():
     )
 
 
+def test_table_parallel_trainer_opt_state_sync_and_lr():
+    """sync_to_trainer must hand back the OPTIMIZER state too (an EMA
+    wrapper's inference weights would otherwise serialize from the
+    wrapped trainer's zeros init), and lr updates must reach the
+    sharded step."""
+    from tcnn_tpu.parallel import TableParallelTrainer
+
+    config = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "EMA", "decay": 0.9,
+                      "nested": {"otype": "Adam", "learning_rate": 1e-2,
+                                 "epsilon": 1e-15, "l2_reg": 1e-6}},
+        "encoding": {
+            "otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+            "log2_hashmap_size": 8, "base_resolution": 3,
+            "per_level_scale": 1.9,
+        },
+        "network": {"otype": "CutlassMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+    }
+    ref = tc.create_from_config(2, 3, config)
+    mp_model = tc.create_from_config(2, 3, config)
+    mesh = _mesh((4, 2), ("data", "model"))
+    tpt = TableParallelTrainer(mp_model.trainer, mesh)
+
+    r = np.random.default_rng(3)
+    for _ in range(3):
+        x = jnp.asarray(r.uniform(0, 1, (256, 2)), jnp.float32)
+        t = jnp.asarray(r.uniform(0, 1, (256, 3)), jnp.float32)
+        ref.training_step(x, t)
+        tpt.training_step(x, t)
+
+    tpt.sync_to_trainer()
+    # Inference (EMA custom) weights come from the synced opt state and
+    # must match the single-device run — NOT the zeros init.
+    ema_ref = np.asarray(ref.trainer.inference_params())
+    ema_tp = np.asarray(mp_model.trainer.inference_params())
+    assert np.abs(ema_tp).max() > 0, "EMA weights still zeros: no sync"
+    np.testing.assert_allclose(ema_tp, ema_ref, rtol=5e-4, atol=1e-6)
+    # Serialized checkpoints agree between the two runs.
+    blob_ref = ref.trainer.serialize(serialize_optimizer=True)
+    blob_tp = mp_model.trainer.serialize(serialize_optimizer=True)
+    a = np.frombuffer(
+        bytes(blob_ref["params_binary"]["bytes"]), np.float32
+    )
+    b = np.frombuffer(bytes(blob_tp["params_binary"]["bytes"]), np.float32)
+    np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6)
+
+    # lr passthrough: both runs drop lr and stay in lockstep.
+    ref.trainer.learning_rate = 1e-3
+    tpt.learning_rate = 1e-3
+    for _ in range(2):
+        x = jnp.asarray(r.uniform(0, 1, (256, 2)), jnp.float32)
+        t = jnp.asarray(r.uniform(0, 1, (256, 3)), jnp.float32)
+        l_ref = float(ref.training_step(x, t))
+        l_tp = float(tpt.training_step(x, t))
+        np.testing.assert_allclose(l_tp, l_ref, rtol=5e-5, atol=1e-6)
+
+
 def test_table_parallel_trainer_rejects_non_grid():
     from tcnn_tpu.parallel import TableParallelTrainer
 
