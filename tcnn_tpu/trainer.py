@@ -546,11 +546,10 @@ class Trainer:
 
     # -- split-grid-state <-> flat optimizer-state bridge ----------------------
     def _leaf_param_counts(self):
-        enc = self.model.encoding
-        F = enc.n_features_per_level
-        off = enc.offset_table
-        return [self.model.network.n_params] + [
-            F * int(off[l + 1] - off[l]) for l in range(enc.n_levels)
+        # The per-leaf optimizers were allocated with exactly these
+        # counts (_init_split_grid_state) — reuse them.
+        return [self._opt_net.n_weights] + [
+            o.n_weights for o in self._opt_levels
         ]
 
     def _opt_state_flat(self):
