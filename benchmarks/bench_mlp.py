@@ -46,10 +46,10 @@ def bench_one(width: int, batch: int, iters: int, method: str, train: bool):
     )
 
     if method == "fully_fused_packed":
-        # Packed-I/O serving layout (G = 128/width samples per 128-lane
-        # row — a layout-free reshape of compact host data; see
-        # ops/ffmlp.mlp_forward_pallas_packed). Inference only; width
-        # 128 has no packing (G=1) and is skipped by the caller.
+        # Packed-I/O layout (G = 128/width samples per 128-lane row — a
+        # layout-free reshape of compact host data; see ops/ffmlp.
+        # mlp_forward_pallas_packed). Width 128 has no packing (G=1)
+        # and is skipped by the caller.
         G = 128 // width
         xp = jnp.asarray(
             np.random.default_rng(0)
@@ -57,18 +57,16 @@ def bench_one(width: int, batch: int, iters: int, method: str, train: bool):
             .reshape(batch // G, G * width),
             jnp.bfloat16,
         )
-        fn = jax.jit(net.apply_packed)
-
-        def sync(o):
-            return float(jnp.asarray(o).ravel()[0])
-
-        out = fn(params, xp)
-        sync(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(params, xp)
-        sync(out)
-        return batch * iters / (time.perf_counter() - t0)
+        if train:
+            @jax.jit
+            def fn(p, x):
+                return jax.grad(
+                    lambda pp: net.apply_packed(pp, x)
+                    .astype(jnp.float32).sum()
+                )(p)
+        else:
+            fn = jax.jit(net.apply_packed)
+        return _timed_blocks(fn, params, xp, batch=batch, iters=iters)
 
     if train:
         @jax.jit
@@ -79,25 +77,42 @@ def bench_one(width: int, batch: int, iters: int, method: str, train: bool):
     else:
         fn = jax.jit(net.apply)
 
-    def sync(o):
-        # Scalar fetch: block_until_ready is unreliable over the axon tunnel.
-        return float(jnp.asarray(o).ravel()[0])
+    return _timed_blocks(fn, params, x, batch=batch, iters=iters)
 
-    out = fn(params, x)
+
+def _timed_blocks(fn, *args, batch: int, iters: int, n_blocks: int = 3):
+    """Median-of-blocks throughput + the per-block values (the narrow
+    kernels' standalone timings disperse up to +-40% across sessions;
+    a single block reads as signal when it is noise). Scalar-fetch
+    sync: block_until_ready is unreliable over the axon tunnel."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    def sync(o):
+        leaves = jax.tree_util.tree_leaves(o)
+        return float(jnp.asarray(leaves[0]).ravel()[0])
+
+    out = fn(*args)
     sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, x)
-    sync(out)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    blocks = []
+    for _ in range(n_blocks):
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        blocks.append(batch * iters / (_time.perf_counter() - t0))
+    blocks.sort()
+    return blocks[len(blocks) // 2], blocks
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2**20)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--widths", type=int, nargs="+", default=[32, 64, 128])
+    ap.add_argument("--widths", type=int, nargs="+",
+                    default=[16, 32, 64, 128])
     ap.add_argument("--out", default="bench_result_ours.json")
     args = ap.parse_args()
 
@@ -107,17 +122,17 @@ def main():
         if width < 128:
             methods.append("fully_fused_packed")
         for method in methods:
-            modes = (False,) if method == "fully_fused_packed" else (
-                False, True,
-            )
-            for train in modes:
-                tput = bench_one(width, args.batch, args.iters, method, train)
+            for train in (False, True):
+                tput, blocks = bench_one(
+                    width, args.batch, args.iters, method, train
+                )
                 entry = {
                     "width": width,
                     "method": method,
                     "mode": "training" if train else "inference",
                     "batch": args.batch,
                     "elements_per_second": round(tput, 1),
+                    "blocks": [round(b, 1) for b in blocks],
                 }
                 print(json.dumps(entry))
                 results.append(entry)

@@ -20,11 +20,13 @@ FFMLP_WIDTHS = (16, 32, 64, 128)
 
 # Trace-time serving flag: inference and training want different execution
 # strategies (measured, v5e, bench_result_ours.json — the fused kernel wins
-# TRAINING at widths >= 64 but INFERENCE only at 128, where the weights
-# no longer fit XLA's fusion appetite). jit traces once inside the context,
-# so the routing bakes into the serving executable. Thread-local: a trace
-# running on another thread (e.g. a training re-jit racing a serving call)
-# must not pick up this thread's serving flag.
+# TRAINING at widths >= 32 but same-layout INFERENCE only at 128, where
+# the weights no longer fit XLA's fusion appetite; at widths 16-64 the
+# packed-I/O serving layout wins every width — see ``apply_packed``, an
+# explicit API because its batch layout differs). jit traces once inside
+# the context, so the routing bakes into the serving executable.
+# Thread-local: a trace running on another thread (e.g. a training re-jit
+# racing a serving call) must not pick up this thread's serving flag.
 _MODE = threading.local()
 
 
@@ -108,20 +110,21 @@ class FullyFusedMLP(MLP):
         self._use_pallas_forced = True
 
     def apply_packed(self, params, x_packed):
-        """Packed-I/O serving path (inference only): ``x_packed`` is
-        ``(batch/G, 128)`` with G = 128/input_width samples per row —
-        the layout-free reshape of a compact row-major batch. Returns
-        ``(batch/G, G*padded_output_width)``; reshape to ``(batch,
-        padded_output_width)`` to unpack. The serving-only analogue of
-        the reference's INFERENCE=true kernel specialization
-        (src/fully_fused_mlp.cu:682-706) — avoids the 128/width lane
-        padding that floors narrow-width inference I/O (ops/ffmlp.
-        mlp_forward_pallas_packed)."""
-        from ..ops.ffmlp import mlp_forward_pallas_packed
+        """Packed-I/O path: ``x_packed`` is ``(batch/G, 128)`` with
+        G = 128/input_width samples per row — the layout-free reshape of
+        a compact row-major batch. Returns ``(batch/G,
+        G*padded_output_width)``; reshape to ``(batch,
+        padded_output_width)`` to unpack. Differentiable (first-order
+        reverse mode: fused-recompute backward, also fully packed). The
+        analogue of the reference's INFERENCE=true kernel
+        specialization (src/fully_fused_mlp.cu:682-706) — avoids the
+        128/width lane padding that floors narrow-width I/O
+        (ops/ffmlp.mlp_forward_pallas_packed)."""
+        from ..ops.ffmlp import ffmlp_apply_packed
 
         dt = self.compute_dtype
         weights_t = tuple(w.astype(dt).T for w in self._weights(params))
-        return mlp_forward_pallas_packed(
+        return ffmlp_apply_packed(
             x_packed.astype(dt), weights_t, self.activation,
             self.output_activation,
         )

@@ -509,6 +509,169 @@ def mlp_forward_pallas_packed(
     return out
 
 
+def _mlp_bwd_kernel_packed(x_ref, g_ref, *refs, activation: Activation,
+                           output_activation: Activation, n_layers: int,
+                           in_dtype, G: int):
+    """Packed-I/O fused-recompute backward: one batch tile entirely in
+    the packed 128-lane space (G samples per row, block-diagonal
+    weights). dW partials reduce to (a, b) by diagonal-block sum —
+    G x the FLOPs at G x the MXU utilization, with NO lane-padded I/O
+    (the reason the standard kernel loses narrow-width training)."""
+    w_refs = refs[:n_layers]
+    dx_ref = refs[n_layers]
+    dw_refs = refs[n_layers + 1 : 2 * n_layers + 1]
+    ws = [_kernel_block_diag(w_refs[i][...], G) for i in range(n_layers)]
+
+    cheap_act = activation in (Activation.NONE, Activation.ReLU)
+    x = x_ref[...]  # (tile_b, 128) packed
+    hs = [x]
+    pres = []
+    h = x
+    for i in range(n_layers):
+        z = jnp.dot(h, ws[i], preferred_element_type=jnp.float32)
+        pres.append(None if (cheap_act and i < n_layers - 1) else z)
+        if i < n_layers - 1:
+            h = activation_fn(z, activation).astype(in_dtype)
+            hs.append(h)
+
+    def hvjp(dh, i):
+        if activation == Activation.NONE:
+            return dh
+        if activation == Activation.ReLU:
+            # bf16 comparisons are rejected by Mosaic on this target.
+            return jnp.where(hs[i + 1].astype(jnp.float32) > 0.0, dh, 0.0)
+        return _act_vjp(dh, pres[i], activation)
+
+    g = g_ref[...].astype(jnp.float32)  # (tile_b, G*out_p) packed
+    delta = _act_vjp(g, pres[-1], output_activation)
+    for i in range(n_layers - 1, -1, -1):
+        d16 = delta.astype(in_dtype)
+        dw = jnp.dot(hs[i].T, d16, preferred_element_type=jnp.float32)
+        dw_refs[i][...] = _kernel_diag_sum(dw, G)[None]
+        dh = jnp.dot(d16, ws[i].T, preferred_element_type=jnp.float32)
+        if i > 0:
+            delta = hvjp(dh, i - 1)
+    dx_ref[...] = dh.astype(in_dtype)
+
+
+def mlp_backward_pallas_packed(
+    x_packed: jnp.ndarray,
+    g_packed: jnp.ndarray,
+    weights_t: Sequence[jnp.ndarray],
+    activation: Activation,
+    output_activation: Activation,
+    tile_b: int = DEFAULT_TILE_B,
+):
+    """Packed-I/O fused-recompute backward; returns (dx_packed, [dW...])
+    with dW in the transposed (in, out) layout of ``weights_t``. Layout
+    contract as in :func:`mlp_forward_pallas_packed`."""
+    n_layers = len(weights_t)
+    in_width = weights_t[0].shape[0]
+    G = packed_group(in_width, weights_t)
+    if G <= 1:
+        raise ValueError("packed path needs a narrow uniform MLP")
+    out_width = weights_t[-1].shape[1]
+    dtype = x_packed.dtype
+    rows = x_packed.shape[0]
+
+    tile_b = min(tile_b, max(128, rows))
+    # VMEM guard: x, g, dx + n_layers packed activations (bf16, 128
+    # lanes) + f32 transients; halve the tile under the scoped budget.
+    cheap = activation in (Activation.NONE, Activation.ReLU)
+    per_row = 2 * (2 * 128 + G * out_width) + 2 * n_layers * 128 + (
+        0 if cheap else 4 * n_layers * 128
+    ) + 12 * 128
+    while tile_b > 512 and tile_b * per_row > 11 * 2**20:
+        tile_b //= 2
+    padded_rows = cdiv(rows, tile_b) * tile_b
+    if padded_rows != rows:
+        x_packed = jnp.pad(x_packed, ((0, padded_rows - rows), (0, 0)))
+        g_packed = jnp.pad(g_packed, ((0, padded_rows - rows), (0, 0)))
+    n_tiles = padded_rows // tile_b
+
+    kernel = functools.partial(
+        _mlp_bwd_kernel_packed,
+        activation=activation,
+        output_activation=output_activation,
+        n_layers=n_layers,
+        in_dtype=dtype,
+        G=G,
+    )
+    in_specs = [
+        pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, G * out_width), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for w in weights_t:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    out_specs = [
+        pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((padded_rows, 128), dtype)]
+    for w in weights_t:
+        out_specs.append(
+            pl.BlockSpec((1,) + w.shape, lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_tiles,) + w.shape, jnp.float32)
+        )
+    flops_per_row = 6 * G * sum(a.shape[0] * a.shape[1] for a in weights_t)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * padded_rows,
+            bytes_accessed=padded_rows * (2 * 128 + G * out_width) * 2
+            + n_tiles * sum(a.size for a in weights_t) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(x_packed, g_packed, *weights_t)
+    dx = outs[0][:rows]
+    dws = [p.sum(axis=0) for p in outs[1:]]
+    return dx, dws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ffmlp_apply_packed(x_packed, weights_t, activation: Activation,
+                       output_activation: Activation):
+    """Differentiable packed-I/O fused MLP (first-order reverse mode):
+    forward and fused-recompute backward both run entirely in the packed
+    128-lane layout — no lane-padded activation or gradient I/O at any
+    point. Layout contract: :func:`mlp_forward_pallas_packed`."""
+    return mlp_forward_pallas_packed(
+        x_packed, tuple(weights_t), activation, output_activation
+    )
+
+
+def _ffmlp_packed_fwd(x_packed, weights_t, activation, output_activation):
+    out = mlp_forward_pallas_packed(
+        x_packed, tuple(weights_t), activation, output_activation
+    )
+    return out, (x_packed, tuple(weights_t))
+
+
+def _ffmlp_packed_bwd(activation, output_activation, residuals, g):
+    x_packed, weights_t = residuals
+    dx, dws = mlp_backward_pallas_packed(
+        x_packed, g.astype(x_packed.dtype), weights_t, activation,
+        output_activation,
+    )
+    return dx, tuple(dw.astype(w.dtype) for dw, w in zip(dws, weights_t))
+
+
+ffmlp_apply_packed.defvjp(_ffmlp_packed_fwd, _ffmlp_packed_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Fused backward kernel
 # ---------------------------------------------------------------------------
