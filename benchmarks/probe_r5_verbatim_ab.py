@@ -134,6 +134,11 @@ def main():
         "I": ("I additive+quad+factored_sr",
               {"hash": "CoherentAdditive", "gather_strategy": "quad",
                "scatter_strategy": "factored_sr"}),
+        # The compensated pair as ONE matmul (bitwise-equal to the
+        # default pair; strips concatenated along lanes).
+        "J": ("J additive+quad+factored_fused",
+              {"hash": "CoherentAdditive", "gather_strategy": "quad",
+               "scatter_strategy": "factored_fused"}),
     }
     want = set(args.only.split(",")) if args.only else None
     for k, (tag, extra) in cases.items():
